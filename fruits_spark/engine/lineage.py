@@ -1,0 +1,96 @@
+"""Per-partition lineage + metrics checkpoints for exact resume.
+
+The engine processes a run as independent (source, bucket) *cells*.  Each
+completed cell commits one manifest row ``(run_id, tier, source, bucket,
+n_docs, n_points, n_tokens)`` to a lineage table (parquet directory,
+append-only — the same protocol works on Iceberg via ``writeTo.append``).
+A re-run of the same ``run_id`` anti-joins the manifest and recomputes
+only missing cells, so a killed job resumes exactly (FIXTURES.md T3) and
+metrics (points/s, tokens/s per tier) fall out of the manifest for free.
+
+Commit protocol: write data for the pending cells to
+``{out}/run={run_id}/part-{attempt}`` first, then append manifest rows —
+a cell is only considered done once its manifest row is visible, making
+the data write idempotent (duplicate data from a crashed attempt is
+ignored because its manifest row was never committed; readers go through
+``completed_cells``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MANIFEST_SCHEMA = (
+    "run_id string, tier string, source string, bucket int, "
+    "n_docs long, n_tokens long, n_points long"
+)
+
+
+def manifest_path(base: str) -> str:
+    return os.path.join(base, "_lineage")
+
+
+def completed_cells(spark: SparkSession, base: str, run_id: str, tier: str) -> DataFrame:
+    """Cells already committed for (run_id, tier); empty DF if no manifest."""
+    path = manifest_path(base)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    return m.where((F.col("run_id") == run_id) & (F.col("tier") == tier))
+
+
+def pending_cells(
+    rolled: DataFrame, spark: SparkSession, base: str, run_id: str, tier: str
+) -> DataFrame:
+    """Tier cells not yet committed (anti-join on the manifest)."""
+    done = completed_cells(spark, base, run_id, tier).select("source", "bucket")
+    return rolled.join(F.broadcast(done), ["source", "bucket"], "left_anti")
+
+
+def commit_cells(
+    cells: DataFrame,
+    spark: SparkSession,
+    base: str,
+    run_id: str,
+    tier: str,
+    n_points_per_doc: int,
+) -> int:
+    """Write pending cell data, then commit their manifest rows.
+    Returns the number of cells committed."""
+    data_path = os.path.join(base, f"tier={tier}", f"run={run_id}")
+    cells = cells.cache()
+    n = cells.count()
+    if n == 0:
+        cells.unpersist()
+        return 0
+    cells.write.mode("append").parquet(data_path)
+    manifest = cells.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(tier).alias("tier"),
+        "source",
+        "bucket",
+        F.col("n_docs").cast("long"),
+        F.col("sum_tok").cast("long").alias("n_tokens"),
+        (F.col("sum_tok").cast("long") * n_points_per_doc).alias("n_points"),
+    )
+    manifest.write.mode("append").parquet(manifest_path(base))
+    cells.unpersist()
+    return n
+
+
+def run_metrics(spark: SparkSession, base: str, run_id: str) -> DataFrame:
+    """Aggregate manifest metrics per tier for a run."""
+    m = spark.read.parquet(manifest_path(base))
+    return (
+        m.where(F.col("run_id") == run_id)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.sum("n_docs").alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_points").alias("points"),
+        )
+    )

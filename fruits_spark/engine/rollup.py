@@ -1,0 +1,177 @@
+"""Tiered continuous aggregates: raw -> 1k-token -> 100k-token rollups.
+
+A *tier* groups documents into ``(source, bucket)`` cells; the bucket of
+a doc is ``hash_bucket(doc_id, tier.n_buckets)`` so cells are stable,
+deterministic and independent of row order.  Tier aggregates are plain
+JVM hash aggregations (partial + final, map-side combine comes free from
+Catalyst) over the wide per-doc feature columns produced by
+:func:`fruits_spark.engine.executor.extract_features` — the only shuffle
+in the pipeline is this groupBy, shuffling one already-reduced row per
+document, never token data.
+
+Scale design notes (100 TB / 10^12 sequences):
+  * the feature-extraction map carries no shuffle; its output is ~1e12
+    rows x (few keys + k doubles) — the rollup shuffle volume is
+    O(docs x features x 8B), shrunk further by partial aggregation to
+    O(cells) per map task.
+  * Zipf-skewed ``source`` keys are salted (``salt_rollup``): a two-phase
+    aggregate that shards hot groups before the final combine, keeping
+    the max/median partition ratio bounded.
+  * gap-fill builds the full (source x bucket) spine with ``sequence()``
+    + ``explode`` (a few thousand rows — broadcastable) and left-joins
+    facts onto it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Tier:
+    """A retention tier: ``tokens_per_bucket`` controls downsampling
+    granularity; ``retention_runs`` how many runs are kept before
+    partition drop."""
+
+    name: str
+    tokens_per_bucket: int  # target token volume per rollup cell
+    retention_runs: int = -1  # -1 = keep forever
+
+
+DEFAULT_TIERS = (
+    Tier("raw", 0),            # per-document (no rollup)
+    Tier("t1k", 1_000),
+    Tier("t100k", 100_000),
+)
+
+
+def bucket_col(n_buckets: int, doc_col: str = "doc_id"):
+    """Deterministic doc -> bucket assignment (xxhash64, JVM-side)."""
+    return F.pmod(F.xxhash64(F.col(doc_col)), F.lit(n_buckets)).cast("int")
+
+
+def n_buckets_for(tier: Tier, total_tokens: int, min_buckets: int = 4) -> int:
+    if tier.tokens_per_bucket <= 0:
+        raise ValueError("raw tier is per-document; no bucket count")
+    return max(min_buckets, int(total_tokens // tier.tokens_per_bucket) or 1)
+
+
+def rollup_tier(
+    features: DataFrame,
+    tier: Tier,
+    n_buckets: int,
+    feature_cols: list[str],
+) -> DataFrame:
+    """Aggregate per-doc features into tier cells.
+
+    Emits per (source, bucket): doc count, token sum, and sum/max per
+    feature column — the continuous-aggregate payload.  Aggregates are
+    algebraic (sum/max/count) so tiers can also be re-rolled from finer
+    tiers without revisiting raw data.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+    ]
+    for c in feature_cols:
+        aggs.append(F.sum(c).alias(f"sum_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        features.withColumn("bucket", bucket_col(n_buckets))
+        .groupBy("source", "bucket")
+        .agg(*aggs)
+    )
+
+
+def rollup_tier_salted(
+    features: DataFrame,
+    tier: Tier,
+    n_buckets: int,
+    feature_cols: list[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe two-phase rollup: pre-aggregate on (source, bucket, salt)
+    so a hot source fans out over ``n_salts`` reducers, then combine.
+    Identical results to :func:`rollup_tier`; use when one source holds a
+    large share of documents (FIXTURES.md T2)."""
+    partial_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+    ]
+    for c in feature_cols:
+        partial_aggs.append(F.sum(c).alias(f"sum_{c}"))
+        partial_aggs.append(F.max(c).alias(f"max_{c}"))
+    final_aggs = [
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_tok").alias("sum_tok"),
+    ]
+    for c in feature_cols:
+        final_aggs.append(F.sum(f"sum_{c}").alias(f"sum_{c}"))
+        final_aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+    salted = (
+        features.withColumn("bucket", bucket_col(n_buckets))
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.lit(n_salts))
+        )
+        .groupBy("source", "bucket", "_salt")
+        .agg(*partial_aggs)
+    )
+    return salted.groupBy("source", "bucket").agg(*final_aggs)
+
+
+def bucket_spine(
+    facts_or_sources: DataFrame, n_buckets: int, source_col: str = "source"
+) -> DataFrame:
+    """Full (source x bucket) grid: distinct sources cross-joined with
+    ``sequence(0, n_buckets-1)`` exploded.  Tiny — broadcast side of the
+    gap-fill join."""
+    sources = facts_or_sources.select(source_col).distinct()
+    return sources.withColumn(
+        "bucket", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1)))
+    ).withColumn("bucket", F.col("bucket").cast("int"))
+
+
+def gap_fill(
+    rolled: DataFrame,
+    spine: DataFrame,
+    fill_cols: dict[str, object] | None = None,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Left-join tier cells onto the spine; missing cells get
+    ``fill_cols`` constants (default 0 for counts) and, optionally,
+    last-observation-carried-forward per source for ``carry_cols``
+    (``last(ignorenulls).over(source window ordered by bucket)``).
+    Adds a ``filled`` flag."""
+    from pyspark.sql.window import Window
+
+    out = spine.join(rolled, ["source", "bucket"], "left")
+    out = out.withColumn("filled", F.col("n_docs").isNull())
+    fills = {"n_docs": 0, "sum_tok": 0}
+    if fill_cols:
+        fills.update(fill_cols)
+    out = out.fillna(fills)
+    if carry_cols:
+        w = (
+            Window.partitionBy("source")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in carry_cols:
+            out = out.withColumn(
+                c, F.last(F.col(c), ignorenulls=True).over(w)
+            )
+    return out
+
+
+def retention_filter(
+    tier_df: DataFrame, tier: Tier, current_run: int, run_col: str = "run_id"
+) -> DataFrame:
+    """Partition-drop semantics: keep only the last ``retention_runs``
+    runs of a tier (on storage this is a partition delete, expressed here
+    as the equivalent filter)."""
+    if tier.retention_runs < 0:
+        return tier_df
+    cutoff = current_run - tier.retention_runs
+    return tier_df.where(F.col(run_col) > F.lit(cutoff))

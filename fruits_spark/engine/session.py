@@ -1,0 +1,47 @@
+"""SparkSession factory with engine-tuned defaults.
+
+Settings chosen for the 100 TB design point and validated on local[*]:
+AQE on (runtime coalescing + skew-join splitting), Arrow enabled with a
+bounded records-per-batch so pandas-UDF peak memory stays flat regardless
+of sequence length, and shuffle partitions sized by the caller (rule of
+thumb: 2-3x total executor cores; the 32-core sandbox uses 32-64).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    app: str = "fruits-spark",
+    arrow_batch: int = 2048,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = int(cpus) if master.startswith("local[") and cpus.isdigit() else 32
+        shuffle_partitions = max(n, 8)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch)
+        )
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,174 @@
+"""End-to-end Spark engine tests: datagen -> feature extraction ->
+tier rollup -> gap-fill -> codecs -> lineage resume (FIXTURES.md F1/T1-T5).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fruits_spark import datagen
+from fruits_spark.engine import executor as EX
+from fruits_spark.engine import lineage as LI
+from fruits_spark.engine import rollup as RU
+from fruits_spark.kernels import iss as KI
+from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+from fruits_spark.words import W
+
+PLAN = FruitPlan(
+    (
+        Slice(
+            preps=(Prep("std"),),
+            iss=ISSSpec((W("[11][1]"),), mode="extended"),
+            sieves=(
+                Sieve("end"),
+                Sieve("ppv", {"quantiles": [0.0], "constant": [True]}),
+                Sieve("max"),
+            ),
+        ),
+    )
+)
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    pdf = datagen.generate_pandas(300, seed=7, max_len=64)
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_datagen_spark_matches_pandas(spark):
+    pdf_local = datagen.generate_pandas(100, seed=7, max_len=32)
+    pdf_spark = (
+        datagen.generate_spark(spark, 100, seed=7, partitions=4, max_len=32)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdf_local = pdf_local.sort_values("doc_id").reset_index(drop=True)
+    assert list(pdf_local["doc_id"]) == list(pdf_spark["doc_id"])
+    for a, b in zip(pdf_local["tokens"], pdf_spark["tokens"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_datagen_has_skew_and_edges():
+    pdf = datagen.generate_pandas(2000, seed=7)
+    counts = pdf["source"].value_counts()
+    assert counts.iloc[0] > 3 * counts.iloc[min(5, len(counts) - 1)]
+    assert set(pdf["n_tok"].head(3)) == {1, 2}
+
+
+def test_extract_features_matches_local_kernels(spark, token_df):
+    out = EX.extract_features(token_df, PLAN).toPandas()
+    assert len(out) == 300
+    fcols = EX.feature_columns(PLAN)
+    assert PLAN.n_features() == 6 and len(fcols) == 6
+
+    # local recomputation for a handful of docs
+    sample = token_df.limit(50).toPandas()
+    merged = out.set_index("doc_id")
+    from fruits_spark.kernels import prep as KP
+    from fruits_spark.kernels import sieve as KS
+
+    for _, row in sample.iterrows():
+        Z = np.asarray(row["tokens"], dtype=np.float64)[None, None, :]
+        Zp = KP.std(Z)
+        streams = KI.iss(Zp, W("[11][1]").matrix, extended=2)
+        got = merged.loc[row["doc_id"]]
+        # feature order: per stream (shortest prefix first) x sieves
+        for s, lbl in [(0, "[11]"), (1, "[11][1]")]:
+            st = streams[:, s, :]
+            end = KS.sieve_end(st, KS.resolve_cuts(st, [-1], source=Zp))[0, 0]
+            base = s * 3
+            np.testing.assert_allclose(got[fcols[base]], end, rtol=1e-12)
+
+
+def test_rollup_and_salted_rollup_agree(spark, token_df):
+    feats = EX.extract_features(token_df, PLAN)
+    fcols = EX.feature_columns(PLAN)
+    tier = RU.Tier("t1k", 1_000)
+    plain = RU.rollup_tier(feats, tier, 8, fcols).toPandas()
+    salted = RU.rollup_tier_salted(feats, tier, 8, fcols, n_salts=4).toPandas()
+    key = ["source", "bucket"]
+    plain = plain.sort_values(key).reset_index(drop=True)
+    salted = salted.sort_values(key).reset_index(drop=True)
+    assert list(plain.columns) == list(salted.columns)
+    pd.testing.assert_frame_equal(plain, salted, check_exact=False, rtol=1e-9)
+
+
+def test_gap_fill_completes_spine(spark, token_df):
+    feats = EX.extract_features(token_df, PLAN)
+    fcols = EX.feature_columns(PLAN)
+    rolled = RU.rollup_tier(feats, RU.Tier("t1k", 1_000), 16, fcols)
+    spine = RU.bucket_spine(token_df, 16)
+    filled = RU.gap_fill(rolled, spine).toPandas()
+    n_sources = token_df.select("source").distinct().count()
+    assert len(filled) == n_sources * 16
+    assert filled["filled"].any()  # datagen guarantees real gaps
+    assert (filled.loc[filled["filled"], "n_docs"] == 0).all()
+
+
+def test_codec_roundtrip_on_rolled_streams(spark, token_df):
+    from fruits_spark.engine.codec_udf import decode_stream, encode_streams
+    from fruits_spark.kernels.codec import dod_decode
+
+    feats = EX.extract_features(token_df, PLAN)
+    fcols = EX.feature_columns(PLAN)
+    rolled = RU.rollup_tier(feats, RU.Tier("t1k", 1_000), 16, fcols)
+    enc = encode_streams(rolled, f"sum_{fcols[0]}").toPandas()
+    raw = rolled.select("source", "bucket", f"sum_{fcols[0]}").toPandas()
+    for _, row in enc.iterrows():
+        expect = (
+            raw[raw["source"] == row["source"]]
+            .sort_values("bucket")[f"sum_{fcols[0]}"]
+            .to_numpy()
+        )
+        got = decode_stream(bytes(row["gorilla_blob"]), row["n"])
+        np.testing.assert_array_equal(got, expect)
+        buckets = dod_decode(bytes(row["dod_blob"]), row["n"])
+        np.testing.assert_array_equal(
+            buckets,
+            np.sort(raw[raw["source"] == row["source"]]["bucket"].to_numpy()),
+        )
+
+
+def test_lineage_resume(spark, token_df, tmp_path):
+    base = str(tmp_path / "tiers")
+    feats = EX.extract_features(token_df, PLAN)
+    fcols = EX.feature_columns(PLAN)
+    rolled = RU.rollup_tier(feats, RU.Tier("t1k", 1_000), 8, fcols).cache()
+
+    # first attempt commits only a subset (simulated kill after k cells)
+    part = rolled.where("bucket < 3")
+    n1 = LI.commit_cells(
+        LI.pending_cells(part, spark, base, "r1", "t1k"),
+        spark, base, "r1", "t1k", n_points_per_doc=2,
+    )
+    assert n1 > 0
+    # resume: pending excludes committed cells, commits the rest
+    n2 = LI.commit_cells(
+        LI.pending_cells(rolled, spark, base, "r1", "t1k"),
+        spark, base, "r1", "t1k", n_points_per_doc=2,
+    )
+    total = rolled.count()
+    assert n1 + n2 == total
+    # third run is a no-op (idempotent)
+    n3 = LI.commit_cells(
+        LI.pending_cells(rolled, spark, base, "r1", "t1k"),
+        spark, base, "r1", "t1k", n_points_per_doc=2,
+    )
+    assert n3 == 0
+    # output identical to an uninterrupted run
+    data = spark.read.parquet(f"{base}/tier=t1k/run=r1")
+    assert data.count() == total
+    got = data.toPandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    expect = rolled.toPandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[expect.columns], expect, check_exact=False, rtol=1e-9
+    )
+    m = LI.run_metrics(spark, base, "r1").toPandas()
+    assert int(m["cells"].iloc[0]) == total
+
+
+def test_extract_features_plan_is_shuffle_free(spark, token_df):
+    feats = EX.extract_features(token_df, PLAN)
+    plan_str = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_str  # map-only: no shuffle before rollup
