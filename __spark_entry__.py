@@ -1,38 +1,971 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship ISS rollup pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (ISS semirings, EXTENDED prefix CSE, preparateurs, sieves,
+coquantiles, weightings, tier rollup + salting + gap-fill, as-of join,
+dedup/similarity/text ops); ``oracle_sql()`` gives the DuckDB-runnable
+ANSI-SQL equivalent for every oracle-checkable query.
+
+Determinism/exactness strategy for the oracle comparison:
+  * the token table is DERIVED deterministically from ``documents`` with
+    pure int64 arithmetic (``token = ((doc_id+1)*48271 + pos*16807) %
+    101``), so both engines see identical integers;
+  * oracle-checked ISS/rollup outputs stay in the integer-exact float64
+    domain (tokens <= 100, words of weight <= 3, doc lengths <= 32) or
+    are ROUND(.., 6)-ed identically on both sides;
+  * sequential scans (cumsum / running max) are order-identical across
+    engines; unordered SUM aggregates are only used on integer values.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# ---------------------------------------------------------------------------
+# derived token table (both engines)
+# ---------------------------------------------------------------------------
+
+TOK_MOD = 101
+LEN_MOD = 29
+LEN_MIN = 4
+
+_TOKENS_EXPR = (
+    f"transform(sequence(0, n_tok - 1), "
+    f"i -> cast(((doc_id + 1) * 48271 + i * 16807) % {TOK_MOD} as int))"
+)
+
+# DuckDB CTE producing one row per (doc, pos) with the same tokens
+SQL_TOKS = f"""
+toks AS (
+    SELECT doc_id, source, n_tok, pos,
+           (((doc_id + 1) * 48271 + pos * 16807) % {TOK_MOD}) AS x
+    FROM (
+        SELECT d.doc_id, d.source,
+               ((d.doc_id % {LEN_MOD}) + {LEN_MIN}) AS n_tok,
+               unnest(range(0, (d.doc_id % {LEN_MOD}) + {LEN_MIN})) AS pos
+        FROM documents d
+    )
+)"""
+
+# per-doc running streams shared by several oracles
+SQL_STREAMS = f"""
+streams AS (
+    SELECT doc_id, source, n_tok, pos, x,
+           SUM(x) OVER w AS run1,
+           SUM(x * x) OVER w AS run2,
+           COALESCE(x - LAG(x) OVER w, 0) AS d1
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)"""
+
+
+def token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn(
+            "n_tok", ((F.col("doc_id") % LEN_MOD) + LEN_MIN).cast("int")
+        )
+        .withColumn("tokens", F.expr(_TOKENS_EXPR))
+    )
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# ISS queries (engine kernels vs SQL window oracles)
+# ---------------------------------------------------------------------------
+
+def _iss_features(spark, sf_dir, fplan):
+    from fruits_spark.engine.executor import extract_features
+
+    toks = token_table(spark, sf_dir)
+    return extract_features(
+        toks, fplan, keep=("doc_id", "source", "n_tok")
+    )
+
+
+def q_iss_reals_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END sieve of Reals ISS streams [1], [11], [1][1], [11][1]."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1]"), W("[11]"), W("[1][1]"), W("[11][1]"))),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    from fruits_spark.engine.executor import feature_columns
+
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.col(fc[0]).cast("long").alias("end_1"),
+        F.col(fc[1]).cast("long").alias("end_11"),
+        F.col(fc[2]).cast("long").alias("end_1_1"),
+        F.col(fc[3]).cast("long").alias("end_11_1"),
+    )
+
+
+SQL_ISS_REALS_END = f"""
+WITH {SQL_TOKS}, {SQL_STREAMS}
+SELECT doc_id,
+       CAST(SUM(x) AS BIGINT) AS end_1,
+       CAST(SUM(x * x) AS BIGINT) AS end_11,
+       CAST(SUM(x * (run1 - x)) AS BIGINT) AS end_1_1,
+       CAST(SUM(x * (run2 - x * x)) AS BIGINT) AS end_11_1
+FROM streams
+GROUP BY doc_id
+"""
+
+
+def q_iss_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENDED mode on [1][11][111]: ENDs of all three prefixes from one
+    scan (exercises the prefix-CSE plan)."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1][11][111]"),), mode="extended"),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.col(fc[0]).cast("long").alias("end_p1"),
+        F.col(fc[1]).cast("long").alias("end_p2"),
+        F.col(fc[2]).cast("long").alias("end_p3"),
+    )
+
+
+SQL_ISS_EXTENDED = f"""
+WITH {SQL_TOKS}, {SQL_STREAMS},
+lvl2 AS (
+    SELECT doc_id, pos, x, run1, n_tok,
+           SUM(x * x * (run1 - x)) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_l2
+    FROM streams
+)
+SELECT doc_id,
+       CAST(SUM(x) AS BIGINT) AS end_p1,
+       CAST(SUM(x * x * (run1 - x)) AS BIGINT) AS end_p2,
+       CAST(SUM(x * x * x * (run_l2 - x * x * (run1 - x))) AS BIGINT) AS end_p3
+FROM lvl2
+GROUP BY doc_id
+"""
+
+
+def q_iss_arctic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arctic (max-plus) semiring: END of [1][1] and END of [11][1]."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1][1]"), W("[11][1]")), semiring="arctic"),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.col(fc[0]).cast("long").alias("arc_1_1"),
+        F.col(fc[1]).cast("long").alias("arc_11_1"),
+    )
+
+
+SQL_ISS_ARCTIC = f"""
+WITH {SQL_TOKS},
+s AS (
+    SELECT doc_id, pos, x,
+           MAX(x) OVER w AS rmax1,
+           MAX(2 * x) OVER w AS rmax2
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id,
+       CAST(MAX(rmax1 + x) AS BIGINT) AS arc_1_1,
+       CAST(MAX(rmax2 + x) AS BIGINT) AS arc_11_1
+FROM s
+GROUP BY doc_id
+"""
+
+
+def q_iss_inc_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INC preparateur (zero-padded increments) then END of [11] and NPI
+    / MPI sieves on the raw series."""
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("inc"),),
+                iss=ISSSpec((W("[11]"),)),
+                sieves=(Sieve("end"),),
+            ),
+            Slice(
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(
+                    Sieve("npi", {"q": (0.0, 1.0), "inc": 1}),
+                    Sieve("mpi", {"q": (0.0, 1.0), "inc": 1}),
+                ),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.col(fc[0]).cast("long").alias("inc_sq_end"),
+        F.col(fc[1]).cast("long").alias("npi_run1"),
+        F.round(F.col(fc[2]), 6).alias("mpi_run1_r6"),
+    )
+
+
+SQL_ISS_INC = f"""
+WITH {SQL_TOKS}, {SQL_STREAMS},
+i2 AS (
+    SELECT doc_id, pos, d1, run1,
+           COALESCE(run1 - LAG(run1) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS dr1
+    FROM streams
+)
+SELECT doc_id,
+       CAST(SUM(d1 * d1) AS BIGINT) AS inc_sq_end,
+       CAST(SUM(CASE WHEN dr1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS npi_run1,
+       ROUND(SUM(CASE WHEN dr1 > 0 THEN dr1 ELSE 0 END)
+             / GREATEST(SUM(CASE WHEN dr1 > 0 THEN 1 ELSE 0 END), 1), 6)
+           AS mpi_run1_r6
+FROM i2
+GROUP BY doc_id
+"""
+
+
+def q_iss_sieves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX / MIN / PPV / coquantile-cut END sieves on the [1] stream."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(
+                    Sieve("max"),
+                    Sieve("min"),
+                    Sieve("ppv", {"quantiles": [500.0], "constant": [True]}),
+                    Sieve("end", {"cuts": [0.5]}),
+                ),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.col(fc[0]).cast("long").alias("max_run1"),
+        F.col(fc[1]).cast("long").alias("min_run1"),
+        F.round(F.col(fc[2]), 6).alias("ppv500_r6"),
+        F.col(fc[3]).cast("long").alias("end_cq50"),
+    )
+
+
+SQL_ISS_SIEVES = f"""
+WITH {SQL_TOKS}, {SQL_STREAMS},
+cq AS (
+    SELECT doc_id,
+           SUM(CASE WHEN l2run <= 0.5 * l2tot THEN 1 ELSE 0 END) AS cut
+    FROM (
+        SELECT doc_id, pos,
+               SUM(d1 * d1) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l2run,
+               SUM(d1 * d1) OVER (PARTITION BY doc_id) AS l2tot
+        FROM streams
+    )
+    GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(MAX(s.run1) AS BIGINT) AS max_run1,
+       CAST(MIN(s.run1) AS BIGINT) AS min_run1,
+       ROUND(CAST(SUM(CASE WHEN s.run1 >= 500 THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(s.n_tok), 6) AS ppv500_r6,
+       CAST(MAX(CASE WHEN s.pos = cq.cut - 1 THEN s.run1 END) AS BIGINT)
+           AS end_cq50
+FROM streams s JOIN cq ON s.doc_id = cq.doc_id
+GROUP BY s.doc_id
+"""
+
+
+def q_iss_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-weighted ISS (exponential time penalty): END of [1][1] with
+    Indices weighting, alpha=1, scale=1, on tokens scaled to [0,1]."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import extract_features, feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec(
+                    (W("[1][1]"),),
+                    weighting="indices",
+                    weighting_params={"relative": True, "scale": 1.0},
+                ),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    toks = token_table(spark, sf_dir)
+    out = extract_features(
+        toks, fplan, keep=("doc_id", "source", "n_tok"), cast_scale=0.01
+    )
+    return out.select(
+        "doc_id", F.round(F.col(fc[0]), 6).alias("wend_r6")
+    )
+
+
+SQL_ISS_WEIGHTED = f"""
+WITH {SQL_TOKS},
+g AS (
+    SELECT doc_id, pos, x / 100.0 AS xs, n_tok,
+           ((CAST(pos + 1 AS DOUBLE) / n_tok) - (CAST(1 AS DOUBLE) / n_tok))
+               / (1.0 - (CAST(1 AS DOUBLE) / n_tok)) AS gi
+    FROM toks
+),
+lvl1 AS (
+    SELECT doc_id, pos, xs, gi,
+           SUM(xs * EXP(gi * 1.0)) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runw
+    FROM g
+)
+SELECT doc_id,
+       ROUND(SUM(((runw - xs * EXP(gi * 1.0)) * xs) * EXP(-gi * 1.0)), 6)
+           AS wend_r6
+FROM lvl1
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup / gap-fill / salting
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 8
+
+
+def _bucket_expr():
+    return (F.col("doc_id") % N_BUCKETS).cast("int")
+
+
+def _rolled(spark, sf_dir, salted: bool):
+    from fruits_spark.engine import rollup as RU
+    from fruits_spark.engine.executor import extract_features, feature_columns
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    fplan = FruitPlan(
+        (Slice(iss=ISSSpec((W("[11]"),)), sieves=(Sieve("end"),)),)
+    )
+    fc = feature_columns(fplan)
+    toks = token_table(spark, sf_dir).withColumn(
+        "doc_idx", F.col("doc_id")
+    )
+    feats = extract_features(
+        toks, fplan, keep=("doc_id", "source", "n_tok")
+    )
+    tier = RU.Tier("t1k", 1_000)
+    fn = RU.rollup_tier_salted if salted else RU.rollup_tier
+    rolled = fn(feats, tier, N_BUCKETS, fc, bucket_expr=_bucket_expr())
+    return rolled, fc
+
+
+def _rollup_select(rolled, fc):
+    return rolled.select(
+        "source",
+        "bucket",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sum_tok").cast("long").alias("sum_tok"),
+        F.col(f"sum_{fc[0]}").cast("long").alias("sum_end_11"),
+        F.col(f"max_{fc[0]}").cast("long").alias("max_end_11"),
+    )
+
+
+def q_rollup_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier rollup: per (source, doc bucket) — doc count, token volume,
+    sum/max of END([11])."""
+    rolled, fc = _rolled(spark, sf_dir, salted=False)
+    return _rollup_select(rolled, fc)
+
+
+def q_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase (salted) rollup — must equal q_rollup_tier."""
+    rolled, fc = _rolled(spark, sf_dir, salted=True)
+    return _rollup_select(rolled, fc)
+
+
+SQL_ROLLUP = f"""
+WITH {SQL_TOKS}, {SQL_STREAMS},
+perdoc AS (
+    SELECT doc_id, source,
+           MAX(n_tok) AS n_tok,
+           (doc_id % {N_BUCKETS}) AS bucket,
+           SUM(x * x) AS end_11
+    FROM streams
+    GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(end_11) AS BIGINT) AS sum_end_11,
+       CAST(MAX(end_11) AS BIGINT) AS max_end_11
+FROM perdoc
+GROUP BY source, bucket
+"""
+
+
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill: full (source x bucket) spine over a 16-bucket tier built
+    from only bucket < 10 docs; missing cells emitted with zeros and a
+    filled flag."""
+    from fruits_spark.engine import rollup as RU
+    from fruits_spark.engine.executor import extract_features, feature_columns
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    nb = 16
+    fplan = FruitPlan(
+        (Slice(iss=ISSSpec((W("[1]"),)), sieves=(Sieve("end"),)),)
+    )
+    fc = feature_columns(fplan)
+    toks = token_table(spark, sf_dir).where((F.col("doc_id") % nb) < 10)
+    feats = extract_features(toks, fplan)
+    rolled = RU.rollup_tier(
+        feats, RU.Tier("t1k", 1000), nb, fc,
+        bucket_expr=(F.col("doc_id") % nb).cast("int"),
+    )
+    spine = RU.bucket_spine(token_table(spark, sf_dir), nb)
+    filled = RU.gap_fill(rolled, spine, fill_cols={f"sum_{fc[0]}": 0})
+    return filled.select(
+        "source",
+        "bucket",
+        F.col("filled").alias("filled"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col(f"sum_{fc[0]}").cast("long").alias("sum_end_1"),
+    )
+
+
+SQL_GAPFILL = f"""
+WITH {SQL_TOKS}, {SQL_STREAMS},
+perdoc AS (
+    SELECT doc_id, source, (doc_id % 16) AS bucket, SUM(x) AS end_1
+    FROM streams
+    GROUP BY doc_id, source
+    HAVING (doc_id % 16) < 10
+),
+cells AS (
+    SELECT source, bucket, COUNT(*) AS n_docs, SUM(end_1) AS s1
+    FROM perdoc GROUP BY source, bucket
+),
+spine AS (
+    SELECT s.source, b.bucket
+    FROM (SELECT DISTINCT source FROM documents) s,
+         (SELECT unnest(range(0, 16)) AS bucket) b
+)
+SELECT sp.source,
+       CAST(sp.bucket AS INT) AS bucket,
+       (c.n_docs IS NULL) AS filled,
+       CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(c.s1, 0) AS BIGINT) AS sum_end_1
+FROM spine sp LEFT JOIN cells c
+  ON sp.source = c.source AND sp.bucket = c.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-stream ops
+# ---------------------------------------------------------------------------
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly continuous aggregate per event_type with gap-filled hour
+    spine (count + min/max value; integer-exact)."""
+    ev = _read(spark, sf_dir, "events")
+    hours = ev.select(
+        (F.unix_timestamp("ts") / F.lit(3600)).cast("long").alias("hour"),
+        "event_type",
+        "value",
+    )
+    agg = hours.groupBy("hour", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    bounds = hours.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hour")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    out = spine.join(agg, ["hour", "event_type"], "left")
+    return out.select(
+        "hour",
+        "event_type",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("min_value").alias("min_value"),
+        F.col("max_value").alias("max_value"),
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+WITH h AS (
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour, event_type, value
+    FROM events
+),
+agg AS (
+    SELECT hour, event_type, COUNT(*) AS n_events,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM h GROUP BY hour, event_type
+),
+spine AS (
+    SELECT t.hour, e.event_type
+    FROM (SELECT unnest(range((SELECT MIN(hour) FROM h),
+                              (SELECT MAX(hour) FROM h) + 1)) AS hour) t,
+         (SELECT DISTINCT event_type FROM h) e
+)
+SELECT s.hour, s.event_type,
+       CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+       a.min_value AS min_value,
+       a.max_value AS max_value
+FROM spine s LEFT JOIN agg a
+  ON s.hour = a.hour AND s.event_type = a.event_type
+"""
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each 'error' event, the timestamp of the user's
+    most recent 'purchase' at or before it (union+window implementation)."""
+    from fruits_spark.pipeline import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    out = asof_join(
+        errors, purchases, on="user_id", right_val="ts", alias="asof_ts"
+    )
+    # events ts is TIMESTAMP_NTZ; with a UTC session (engine default) the
+    # cast makes unix_micros agree with DuckDB's naive epoch_us
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("purchase_us"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+SELECT e.event_id, e.user_id,
+       (SELECT epoch_us(MAX(p.ts)) FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts <= e.ts) AS purchase_us
+FROM events e
+WHERE e.event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text ops
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: per doc, its content hash, the copy count of that
+    content, and the canonical doc to keep (min doc_id)."""
+    from fruits_spark.pipeline import exact_dedup_assignment
+
+    return exact_dedup_assignment(_read(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "content_hash",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+        "is_duplicate",
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(text) AS content_hash,
+       CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT)
+           AS keep_doc_id,
+       (doc_id != MIN(doc_id) OVER (PARTITION BY md5(text))) AS is_duplicate
+FROM documents
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.4 (docs 0..149)."""
+    from fruits_spark.pipeline import jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    out = jaccard_pairs(docs, threshold=0.4)
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round("jaccard", 6).alias("jaccard_r6"),
+    )
+
+
+SQL_DEDUP_JACCARD = """
+WITH sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(ws[i + 1 : i + 3], ' ') AS shingle
+    FROM (
+        SELECT doc_id, ws,
+               unnest(range(0, GREATEST(len(ws) - 2, 0))) AS i
+        FROM (
+            SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents WHERE doc_id < 150
+        )
+    )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a,
+       CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard_r6
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.4
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (scale path for near-dedup).
+    xxhash64-based — no SQL oracle; rows-only check."""
+    from fruits_spark.pipeline import minhash_lsh_candidates
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return minhash_lsh_candidates(docs, n_hashes=16, bands=8).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (xxhash64-based — rows-only check)."""
+    from fruits_spark.pipeline import simhash
+
+    return simhash(_read(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "simhash"
+    )
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine similarity (quantized-int dot products) of the
+    first 5 embedding vectors against all, sim > 0.2."""
+    from fruits_spark.pipeline import cosine_pairs
+
+    return cosine_pairs(_read(spark, sf_dir, "embeddings")).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("cand_id").cast("long").alias("cand_id"),
+        "cosine_r6",
+    )
+
+
+SQL_ANN_COSINE = """
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS qvec
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, qvec,
+           CAST(list_dot_product(qvec, qvec) AS BIGINT) AS qnorm
+    FROM q
+),
+pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           CAST(list_dot_product(a.qvec, b.qvec) AS BIGINT) AS dot,
+           a.qnorm AS na, b.qnorm AS nb
+    FROM n a, n b
+    WHERE a.vec_id < 5 AND a.vec_id != b.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(cand_id AS BIGINT) AS cand_id,
+       ROUND(dot / sqrt(CAST(na * nb AS DOUBLE)), 6) AS cosine_r6
+FROM pairs
+WHERE dot / sqrt(CAST(na * nb AS DOUBLE)) > 0.2
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality features: char/word/BPE-ish token counts, type-token
+    ratio, stopword count."""
+    from fruits_spark.pipeline import text_stats
+
+    out = text_stats(_read(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_tokens_bpeish").cast("long").alias("n_tokens_bpeish"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        F.round("ttr", 6).alias("ttr_r6"),
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS BIGINT) AS n_tokens_bpeish,
+       CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+           AS n_distinct_words,
+       ROUND(len(list_distinct(string_split(lower(text), ' ')))
+             / len(string_split(lower(text), ' ')), 6) AS ttr_r6,
+       CAST(len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+           AS n_stopwords
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language heuristic with fixed tie-break."""
+    from fruits_spark.pipeline import lang_id
+
+    out = lang_id(_read(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "labelled_lang",
+        F.col("s_en").cast("long").alias("s_en"),
+        F.col("s_es").cast("long").alias("s_es"),
+        "pred_lang",
+    )
+
+
+SQL_LANG_ID = """
+WITH s AS (
+    SELECT doc_id, lang AS labelled_lang,
+        len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('the','a','of','and','is'))) AS s_en,
+        len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('el','la','de','que','los'))) AS s_es,
+        len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('der','die','das','und','ist'))) AS s_de,
+        len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('le','les','des','et','est'))) AS s_fr
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, labelled_lang,
+       CAST(s_en AS BIGINT) AS s_en,
+       CAST(s_es AS BIGINT) AS s_es,
+       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional rolling-hash document fingerprint (integer-exact)."""
+    from fruits_spark.pipeline import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("fingerprint").cast("long").alias("fingerprint"),
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(ord(substr(text, i, 1)) * i) % 2147483648 AS BIGINT)
+           AS fingerprint
+FROM (
+    SELECT doc_id, text,
+           unnest(range(1, length(text) + 1)) AS i
+    FROM documents
+)
+GROUP BY doc_id
+"""
+
+
+def q_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: docs as opaque binary blobs through a
+    mapInPandas 'decode' (deterministic fake — real schema/partition/
+    batch shape, stubbed codec).  Rows-only check."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", IntegerType()),
+            StructField("fake_width", IntegerType()),
+            StructField("fake_height", IntegerType()),
+        ]
+    )
+
+    def decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = pdf["blob"].map(len).to_numpy(dtype=np.int32)
+            # STUB: a real build would decode image bytes here (PIL /
+            # torchvision not available in this container); the fake is
+            # deterministic so the plumbing is testable end-to-end.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": n,
+                    "fake_width": (n % 64 + 1).astype(np.int32),
+                    "fake_height": (n // 64 + 1).astype(np.int32),
+                }
+            )
+
+    return docs.mapInPandas(decode, schema)
+
+
+SQL_MULTIMODAL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS fake_width,
+       CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS fake_height
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ISS rollup pipeline (EXTENDED reals + arctic words,
+    4 sieves, salted t1k rollup, gap-fill) on the sf0.001 token table."""
+    from fruits_spark.engine import rollup as RU
+    from fruits_spark.engine.executor import extract_features, feature_columns
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W, of_weight
+
+    sf_dir = "/root/testdata/sf0.001"
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("std"),),
+                iss=ISSSpec(tuple(of_weight(3, 1)), mode="extended"),
+                sieves=(
+                    Sieve("end"),
+                    Sieve("ppv", {"quantiles": [0.0], "constant": [True]}),
+                ),
+            ),
+            Slice(
+                preps=(Prep("std"),),
+                iss=ISSSpec((W("[1][1]"), W("[11][1]")), semiring="arctic"),
+                sieves=(Sieve("end"), Sieve("max")),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    toks = token_table(spark, sf_dir)
+    feats = extract_features(toks, fplan)
+    rolled = RU.rollup_tier_salted(
+        feats, RU.Tier("t1k", 1000), 8, fc,
+        bucket_expr=(F.col("doc_id") % 8).cast("int"),
+    )
+    spine = RU.bucket_spine(toks, 8)
+    return RU.gap_fill(rolled, spine)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "iss_reals_end": q_iss_reals_end,
+        "iss_extended": q_iss_extended,
+        "iss_arctic": q_iss_arctic,
+        "iss_inc_prep": q_iss_inc_prep,
+        "iss_sieves": q_iss_sieves,
+        "iss_weighted": q_iss_weighted,
+        "rollup_tier": q_rollup_tier,
+        "rollup_salted": q_rollup_salted,
+        "gapfill": q_gapfill,
+        "events_rollup": q_events_rollup,
+        "events_asof": q_events_asof,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_cosine": q_ann_cosine,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "multimodal_stub": q_multimodal_stub,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "iss_reals_end": SQL_ISS_REALS_END,
+        "iss_extended": SQL_ISS_EXTENDED,
+        "iss_arctic": SQL_ISS_ARCTIC,
+        "iss_inc_prep": SQL_ISS_INC,
+        "iss_sieves": SQL_ISS_SIEVES,
+        "iss_weighted": SQL_ISS_WEIGHTED,
+        "rollup_tier": SQL_ROLLUP,
+        "rollup_salted": SQL_ROLLUP,
+        "gapfill": SQL_GAPFILL,
+        "events_rollup": SQL_EVENTS_ROLLUP,
+        "events_asof": SQL_EVENTS_ASOF,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_jaccard": SQL_DEDUP_JACCARD,
+        # minhash_lsh / simhash: xxhash64-based -> rows-only check
+        "ann_cosine": SQL_ANN_COSINE,
+        "text_stats": SQL_TEXT_STATS,
+        "lang_id": SQL_LANG_ID,
+        "fingerprint": SQL_FINGERPRINT,
+        "multimodal_stub": SQL_MULTIMODAL,
+    }

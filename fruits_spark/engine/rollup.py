@@ -63,6 +63,7 @@ def rollup_tier(
     tier: Tier,
     n_buckets: int,
     feature_cols: list[str],
+    bucket_expr=None,
 ) -> DataFrame:
     """Aggregate per-doc features into tier cells.
 
@@ -78,8 +79,9 @@ def rollup_tier(
     for c in feature_cols:
         aggs.append(F.sum(c).alias(f"sum_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
+    b = bucket_expr if bucket_expr is not None else bucket_col(n_buckets)
     return (
-        features.withColumn("bucket", bucket_col(n_buckets))
+        features.withColumn("bucket", b)
         .groupBy("source", "bucket")
         .agg(*aggs)
     )
@@ -91,6 +93,7 @@ def rollup_tier_salted(
     n_buckets: int,
     feature_cols: list[str],
     n_salts: int = 16,
+    bucket_expr=None,
 ) -> DataFrame:
     """Skew-safe two-phase rollup: pre-aggregate on (source, bucket, salt)
     so a hot source fans out over ``n_salts`` reducers, then combine.
@@ -110,8 +113,9 @@ def rollup_tier_salted(
     for c in feature_cols:
         final_aggs.append(F.sum(f"sum_{c}").alias(f"sum_{c}"))
         final_aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+    b = bucket_expr if bucket_expr is not None else bucket_col(n_buckets)
     salted = (
-        features.withColumn("bucket", bucket_col(n_buckets))
+        features.withColumn("bucket", b)
         .withColumn(
             "_salt", F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.lit(n_salts))
         )

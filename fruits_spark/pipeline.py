@@ -1,0 +1,409 @@
+"""Large-scale training-data pipeline operators.
+
+Everything here is expressed with JVM-side built-ins (higher-order array
+functions, hash functions, window aggregates) — no Python in the hot
+path — so plans stay inside whole-stage codegen and scale with executor
+count.  Each op returns a DataFrame with stable, explicitly-aliased
+columns so results can be oracle-checked externally.
+
+Ops: exact/near dedup (hash, n-gram Jaccard, MinHash-LSH, SimHash),
+similarity search (quantized cosine brute force + LSH-bucketed ANN),
+text analysis (tokenization, quality scores, language id, rolling-hash
+fingerprint), and an as-of join for event streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: groups with >1 doc.
+    Hash-groupBy; partial aggregation makes this one light shuffle of
+    (hash, count) pairs at scale."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup_assignment(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc dedup assignment: content hash, copy count, canonical doc
+    (min doc_id per content group) and a duplicate flag — the form a
+    training pipeline consumes to filter/keep documents."""
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .select(
+            "doc_id",
+            "content_hash",
+            F.count(F.lit(1)).over(w).alias("n_copies"),
+            F.min("doc_id").over(w).alias("keep_doc_id"),
+        )
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("keep_doc_id"))
+    )
+
+
+def _words(text_col: str):
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def shingle_df(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct word n-grams per document."""
+    w = _words(text_col)
+    shingles = F.expr(
+        f"transform(sequence(0, size(split(lower({text_col}), ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {n})))"
+    )
+    return (
+        docs.select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Relational formulation: explode shingles, self-join on shingle to get
+    intersection counts, derive union from per-doc set sizes.  Exact but
+    O(pairs-sharing-a-shingle) — the scale path is :func:`minhash_lsh`,
+    which bounds candidate generation; this is the verification oracle.
+    """
+    sh = shingle_df(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+    )
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 3, n_hashes: int = 16
+) -> DataFrame:
+    """MinHash signatures: min over shingles of xxhash64(shingle, seed_k).
+    One shuffle (groupBy doc); signature width is a constant."""
+    sh = shingle_df(docs, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"mh{k}")
+        for k in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature become
+    candidate near-duplicate pairs.  Candidate generation is a self-join
+    on (band_id, band_hash) buckets — no all-pairs blowup."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, text_col, n, n_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+            ).alias("bhash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bhash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: sign-sum of word-hash bits.
+
+    For each of ``bits`` positions, the bit is 1 iff more word hashes
+    have that bit set than not.  Expressed with aggregate() over the word
+    array — fully JVM-side."""
+    w = _words(text_col)
+    bit_sums = F.expr(
+        "transform(sequence(0, {b} - 1), bit -> "
+        "aggregate(split(lower({t}), ' '), 0L, (acc, w) -> "
+        "acc + (CASE WHEN (xxhash64(w) >> bit) % 2 != 0 THEN 1 ELSE -1 END)))".format(
+            b=bits, t=text_col
+        )
+    )
+    sh = F.expr(
+        "aggregate(transform(sequence(0, {b} - 1), bit -> "
+        "CASE WHEN bitsums[bit] > 0 THEN shiftleft(1L, bit) ELSE 0L END), "
+        "0L, (acc, v) -> acc + v)".format(b=bits)
+    )
+    return docs.withColumn("bitsums", bit_sums).select(
+        "doc_id", sh.alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(
+    emb: DataFrame, col: str = "embedding", scale: int = 10_000
+) -> DataFrame:
+    """float32 embedding -> int64 vector (floor(v*scale)): makes dot
+    products exact integers, so similarity is reproducible bit-for-bit
+    across engines."""
+    q = F.expr(
+        f"transform({col}, v -> cast(floor(cast(v as double) * {scale}) as bigint))"
+    )
+    norm = F.expr(
+        "aggregate(qvec, 0L, (acc, v) -> acc + v * v)"
+    )
+    return emb.withColumn("qvec", q).withColumn("qnorm", norm)
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    n_queries: int = 5,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine similarity of the first ``n_queries`` vectors
+    against the whole table (the exact baseline for ANN).  Broadcast the
+    tiny query side; candidates stream map-side — scales linearly."""
+    q = quantize_embeddings(emb)
+    queries = q.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+    )
+    cand = q.select(
+        F.col(id_col).alias("cand_id"), "qvec", "qnorm"
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_qvec, qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    out = (
+        cand.crossJoin(F.broadcast(queries))
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("dot", dot)
+        .withColumn(
+            "cosine",
+            F.col("dot") / F.sqrt((F.col("q_qnorm") * F.col("qnorm")).cast("double")),
+        )
+        .where(F.col("cosine") > threshold)
+    )
+    return out.select(
+        "query_id", "cand_id", F.round("cosine", 6).alias("cosine_r6")
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k neighbors per query via window rank over the
+    brute-force scores (ties broken by candidate id)."""
+    pairs = cosine_pairs(emb, n_queries, threshold=-1.1, id_col=id_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_r6"), F.asc("cand_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_r6", "rank")
+    )
+
+
+def ann_lsh_buckets(
+    emb: DataFrame,
+    hyperplanes,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH for ANN at scale: bucket id = sign bits of
+    ``hyperplanes @ v`` (hyperplanes drawn seeded on the driver and
+    inlined as literals).  Neighbor search then joins on bucket —
+    candidates per query drop from N to N/2^bits."""
+    import numpy as np
+
+    H = np.asarray(hyperplanes, dtype=np.float64)
+    terms = []
+    for b in range(H.shape[0]):
+        coeffs = ",".join(repr(float(c)) for c in H[b])
+        proj = (
+            f"aggregate(zip_with({col}, array({coeffs}), "
+            "(x, y) -> cast(x as double) * y), cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << b}L ELSE 0L END)")
+    bucket = F.expr(" + ".join(terms))
+    return emb.select(F.col(id_col), bucket.alias("lsh_bucket"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+BPE_ISH_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: word/char/token counts and ratios."""
+    words = _words(text_col)
+    return docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars_calc"),
+        F.size(words).alias("n_words"),
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_ISH_REGEX}', 0)")).alias(
+            "n_tokens_bpeish"
+        ),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        (F.size(F.array_distinct(words)) / F.size(words)).alias("ttr"),
+        F.size(F.expr(f"filter(split(lower({text_col}), ' '), w -> w IN "
+                      "('the','a','of','and','to','in','is'))")).alias("n_stopwords"),
+    )
+
+
+LANG_MARKERS = {
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "des", "et", "est"),
+    "en": ("the", "a", "of", "and", "is"),
+}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language heuristic: count marker hits per language
+    and take the argmax with a fixed tie-break order (en,es,de,fr)."""
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ",".join(f"'{m}'" for m in markers)
+        cols.append(
+            F.size(
+                F.expr(f"filter(split(lower({text_col}), ' '), w -> w IN ({lst}))")
+            ).alias(f"s_{lang}")
+        )
+    scored = docs.select("doc_id", F.col("lang").alias("labelled_lang"), *cols)
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")),
+            F.lit("es"),
+        )
+        .when(F.col("s_de") >= F.col("s_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Positional rolling-hash fingerprint:
+    ``sum(ascii(char_i) * i) mod 2^31`` — order-sensitive, integer-exact,
+    computed fully JVM-side with aggregate() over char positions."""
+    fp = F.expr(
+        f"aggregate(sequence(1, length({text_col})), 0L, "
+        f"(acc, i) -> acc + ascii(substring({text_col}, i, 1)) * i) % 2147483648"
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# event streams: as-of join + time rollup
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_val: str = "ts",
+    alias: str = "asof_val",
+) -> DataFrame:
+    """For each left row: the latest right row with ``right.ts <=
+    left.ts`` within the same ``on`` key.
+
+    Implemented as the scalable union+window pattern (one shuffle on the
+    key, sort within partition) rather than a correlated subquery: tag
+    both sides, window ``last(val, ignorenulls)`` ordered by (ts, tag)
+    with right rows sorting before left rows at equal timestamps."""
+    lt = left.withColumn("_tag", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("_ts"),
+            F.col(right_val).alias("_rv"),
+        )
+        .withColumn("_tag", F.lit(0))
+    )
+    cols = [c for c in lt.columns if c not in ("_tag", "_ts")]
+    unioned = lt.select(
+        *cols, "_tag", "_ts", F.lit(None).cast(rt.schema["_rv"].dataType).alias("_rv")
+    ).unionByName(
+        rt.select(
+            *[
+                F.col(c) if c == on else F.lit(None).cast(lt.schema[c].dataType).alias(c)
+                for c in cols
+            ],
+            "_tag",
+            "_ts",
+            "_rv",
+        )
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned.withColumn(alias, F.last("_rv", ignorenulls=True).over(w))
+    return out.where(F.col("_tag") == 1).drop("_tag", "_ts", "_rv")
