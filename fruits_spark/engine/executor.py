@@ -142,6 +142,112 @@ def compute_features_block(Z: np.ndarray, fplan: Pl.FruitPlan) -> np.ndarray:
     return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
 
 
+_FLAT_PREPS = {"inc", "std", "nrm"}
+_FLAT_SIEVES = {
+    "max", "min", "end", "cur", "npi", "mpi", "xpi", "lpi", "ppv", "cpv",
+}
+
+
+def plan_is_flat(fplan: Pl.FruitPlan) -> bool:
+    """True if every op has a flat segmented implementation (univariate
+    input assumed — the token-table case)."""
+    for sl in fplan.slices:
+        if any(p.kind not in _FLAT_PREPS for p in sl.preps):
+            return False
+        if any(sv.kind not in _FLAT_SIEVES for sv in sl.sieves):
+            return False
+        if sl.iss.semiring not in ("reals", "arctic", "bayesian"):
+            return False
+        if any(w.matrix.shape[1] > 1 for w in sl.iss.words):
+            return False
+    return True
+
+
+def compute_features_flat(
+    values: np.ndarray, offsets: np.ndarray, fplan: Pl.FruitPlan
+) -> np.ndarray:
+    """Whole-batch feature computation on the flat layout: one set of
+    segmented array ops per operator, independent of length diversity
+    (the 100 TB hot path)."""
+    from ..kernels import flat as KF
+
+    seg = KF.Seg(offsets)
+    out = np.empty((seg.n, fplan.n_features()), dtype=np.float64)
+    col = 0
+    for sl in fplan.slices:
+        xp = values
+        for p in sl.preps:
+            fn = {"inc": KF.inc_flat, "std": KF.std_flat, "nrm": KF.nrm_flat}[
+                p.kind
+            ]
+            xp = fn(seg, xp, **p.params)
+        spec = sl.iss
+        lookup = None
+        if spec.weighting == "indices":
+            lookup = KF.indices_lookup_flat(seg, **spec.weighting_params)
+        elif spec.weighting == "l1":
+            lookup = KF.l1_lookup_flat(seg, xp, **spec.weighting_params)
+        elif spec.weighting == "l2":
+            lookup = KF.l2_lookup_flat(seg, xp, **spec.weighting_params)
+        elif spec.weighting is not None:
+            raise ValueError(spec.weighting)
+        pplan = spec.plan()
+        for wi, w in enumerate(spec.words):
+            depth = pplan.depth(wi) if pplan is not None else 1
+            if depth == 0:
+                continue
+            alpha = (
+                np.array(w.alpha, dtype=np.float32)
+                if spec.weighting is not None
+                else None
+            )
+            streams = KF.iss_flat(
+                seg, xp, w.matrix, extended=depth, semiring=spec.semiring,
+                alpha=alpha, lookup=lookup, total=spec.total,
+            )
+            for stream in streams:
+                for sv in sl.sieves:
+                    feats = _apply_sieve_flat(seg, stream, sv, xp)
+                    out[:, col:col + feats.shape[1]] = feats
+                    col += feats.shape[1]
+    if col != fplan.n_features():
+        raise AssertionError(f"feature accounting: {col} != {fplan.n_features()}")
+    return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def _apply_sieve_flat(seg, stream, sv: Pl.Sieve, src: np.ndarray) -> np.ndarray:
+    from ..kernels import flat as KF
+    from ..kernels import sieve as KS
+
+    p = sv.params
+    if sv.kind in ("ppv", "cpv"):
+        qs = p.get("quantiles", [0.5])
+        fn = KF.sieve_ppv_flat if sv.kind == "ppv" else KF.sieve_cpv_flat
+        return fn(seg, stream, qs, segments=p.get("segments", False))
+    cuts_spec = list(p.get("cuts", [-1]))
+    norm = p.get("norm", "L2")
+    q = np.asarray(
+        p.get("q_values", KS.resolve_quantiles(None, p.get("q", (-1.0, 1.0))))
+    )
+    if sv.kind in ("npi", "mpi", "xpi", "lpi"):
+        cuts = KF.resolve_cuts_flat(seg, cuts_spec, norm, src)
+        fn = {
+            "npi": KF.sieve_npi_flat, "mpi": KF.sieve_mpi_flat,
+            "xpi": KF.sieve_xpi_flat, "lpi": KF.sieve_lpi_flat,
+        }[sv.kind]
+        return fn(seg, stream, cuts, q, inc=p.get("inc", 1))
+    cuts = KF.resolve_cuts_flat(seg, cuts_spec, norm, src)
+    if sv.kind == "end":
+        return KF.sieve_end_flat(seg, stream, cuts)
+    if sv.kind == "max":
+        return KF.sieve_max_flat(seg, stream, cuts, q)
+    if sv.kind == "min":
+        return KF.sieve_min_flat(seg, stream, cuts, q)
+    if sv.kind == "cur":
+        return KF.sieve_cur_flat(seg, stream, cuts, q)
+    raise ValueError(sv.kind)
+
+
 def _sanitize(label: str, i: int) -> str:
     return f"f{i:04d}_" + re.sub(r"[^A-Za-z0-9]+", "_", label).strip("_")[:48]
 
@@ -169,6 +275,8 @@ def extract_features(
         list(keep_fields) + [StructField(c, DoubleType(), False) for c in fcols]
     )
 
+    flat = plan_is_flat(fplan)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -176,17 +284,22 @@ def extract_features(
             values, offsets = flatten_lists(pdf[tokens_col])
             if cast_scale is not None:
                 values *= cast_scale
-            lengths = np.diff(offsets)
-            feats = np.zeros((len(pdf), fplan.n_features()), dtype=np.float64)
-            for ln in np.unique(lengths):
-                rows = np.nonzero(lengths == ln)[0]
-                if ln == 0:
-                    continue
-                gather = (
-                    offsets[rows][:, None] + np.arange(ln)[None, :]
-                ).ravel()
-                Z = values[gather].reshape(len(rows), 1, int(ln))
-                feats[rows] = compute_features_block(Z, fplan)
+            if flat:
+                feats = compute_features_flat(values, offsets, fplan)
+            else:
+                lengths = np.diff(offsets)
+                feats = np.zeros(
+                    (len(pdf), fplan.n_features()), dtype=np.float64
+                )
+                for ln in np.unique(lengths):
+                    rows = np.nonzero(lengths == ln)[0]
+                    if ln == 0:
+                        continue
+                    gather = (
+                        offsets[rows][:, None] + np.arange(ln)[None, :]
+                    ).ravel()
+                    Z = values[gather].reshape(len(rows), 1, int(ln))
+                    feats[rows] = compute_features_block(Z, fplan)
             out = pdf[list(keep)].reset_index(drop=True)
             for i, c in enumerate(fcols):
                 out[c] = feats[:, i]

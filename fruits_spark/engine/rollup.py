@@ -72,18 +72,23 @@ def rollup_tier(
     algebraic (sum/max/count) so tiers can also be re-rolled from finer
     tiers without revisiting raw data.
     """
-    aggs = [
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("sum_tok"),
-    ]
-    for c in feature_cols:
-        aggs.append(F.sum(c).alias(f"sum_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
+    # one SQL string instead of hundreds of Column objects: a wide
+    # feature set otherwise costs seconds of driver-side py4j round-trips
     b = bucket_expr if bucket_expr is not None else bucket_col(n_buckets)
-    return (
-        features.withColumn("bucket", b)
-        .groupBy("source", "bucket")
-        .agg(*aggs)
+    df = features.withColumn("bucket", b)
+    aggs = ["count(1) AS n_docs", "sum(n_tok) AS sum_tok"]
+    for c in feature_cols:
+        aggs.append(f"sum({c}) AS sum_{c}")
+        aggs.append(f"max({c}) AS max_{c}")
+    return _sql_agg(df, ["source", "bucket"], aggs)
+
+
+def _sql_agg(df: DataFrame, keys: list[str], aggs: list[str]) -> DataFrame:
+    name = f"_rollup_in_{abs(hash(tuple(aggs))) % 10**8}"
+    df.createOrReplaceTempView(name)
+    return df.sparkSession.sql(
+        f"SELECT {', '.join(keys)}, {', '.join(aggs)} FROM {name} "
+        f"GROUP BY {', '.join(keys)}"
     )
 
 
@@ -99,30 +104,19 @@ def rollup_tier_salted(
     so a hot source fans out over ``n_salts`` reducers, then combine.
     Identical results to :func:`rollup_tier`; use when one source holds a
     large share of documents (FIXTURES.md T2)."""
-    partial_aggs = [
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("sum_tok"),
-    ]
+    partial = ["count(1) AS n_docs", "sum(n_tok) AS sum_tok"]
+    final = ["sum(n_docs) AS n_docs", "sum(sum_tok) AS sum_tok"]
     for c in feature_cols:
-        partial_aggs.append(F.sum(c).alias(f"sum_{c}"))
-        partial_aggs.append(F.max(c).alias(f"max_{c}"))
-    final_aggs = [
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("sum_tok").alias("sum_tok"),
-    ]
-    for c in feature_cols:
-        final_aggs.append(F.sum(f"sum_{c}").alias(f"sum_{c}"))
-        final_aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+        partial.append(f"sum({c}) AS sum_{c}")
+        partial.append(f"max({c}) AS max_{c}")
+        final.append(f"sum(sum_{c}) AS sum_{c}")
+        final.append(f"max(max_{c}) AS max_{c}")
     b = bucket_expr if bucket_expr is not None else bucket_col(n_buckets)
-    salted = (
-        features.withColumn("bucket", b)
-        .withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.lit(n_salts))
-        )
-        .groupBy("source", "bucket", "_salt")
-        .agg(*partial_aggs)
+    salted_in = features.withColumn("bucket", b).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.lit(n_salts))
     )
-    return salted.groupBy("source", "bucket").agg(*final_aggs)
+    salted = _sql_agg(salted_in, ["source", "bucket", "_salt"], partial)
+    return _sql_agg(salted, ["source", "bucket"], final).drop("_salt")
 
 
 def bucket_spine(

@@ -1,0 +1,505 @@
+"""Flat segmented kernels: ISS / preps / sieves on (values, offsets).
+
+The length-bucketed 3-D kernels (:mod:`.iss`, :mod:`.prep`, :mod:`.sieve`)
+are exact and simple, but a batch with many distinct sequence lengths
+degenerates into hundreds of tiny NumPy calls.  This module computes the
+same quantities directly on Arrow's flattened list layout — ONE set of
+array ops per operator for the whole batch, independent of how lengths
+are distributed.  This is the engine's hot path for univariate token
+sequences (the 100 TB workload); the bucketed kernels remain as the
+reference-parity implementation, the multivariate path, and the oracle
+for this module's tests.
+
+Primitives:
+  * segmented cumsum    — global cumsum minus per-segment carry
+                          (exact for integer-valued data; <=1e-13 rel.
+                          difference from per-row cumsum for floats)
+  * segmented shift     — global shift + zero at segment starts
+  * segmented run-max   — O(log L) doubling passes (exact: max is
+                          order-insensitive)
+  * per-segment reduce  — ufunc.reduceat with empty-segment repair
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Seg:
+    """Precomputed segment geometry for one flat batch."""
+
+    def __init__(self, offsets: np.ndarray) -> None:
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.lengths = np.diff(self.offsets)
+        self.n = len(self.lengths)
+        self.total = int(self.offsets[-1])
+        self.seg_id = np.repeat(np.arange(self.n), self.lengths)
+        starts = self.offsets[:-1]
+        self.pos = np.arange(self.total) - np.repeat(starts, self.lengths)
+        self.nonempty = self.lengths > 0
+        self.max_len = int(self.lengths.max()) if self.n else 0
+
+    # --- scans ---------------------------------------------------------
+
+    def cumsum(self, x: np.ndarray) -> np.ndarray:
+        cs = np.cumsum(x)
+        if cs.size and max(cs.max(), -cs.min()) >= 2.0**53:
+            # the global carry trick would lose integer exactness once the
+            # cross-segment accumulation passes 2^53 — switch to the
+            # doubling scan, whose partial sums stay per-segment-bounded
+            return self._cumsum_doubling(x)
+        starts = self.offsets[:-1]
+        base = np.where(starts > 0, cs[starts - 1], 0.0)
+        np.subtract(cs, np.repeat(base, self.lengths), out=cs)
+        return cs
+
+    def _cumsum_doubling(self, x: np.ndarray) -> np.ndarray:
+        out = x.copy()
+        step = 1
+        while step < self.max_len:
+            shifted = np.empty_like(out)
+            shifted[step:] = out[:-step]
+            shifted[:step] = 0.0
+            out = out + np.where(self.pos >= step, shifted, 0.0)
+            step <<= 1
+        return out
+
+    def shift1(self, x: np.ndarray) -> np.ndarray:
+        out = np.empty_like(x)
+        out[1:] = x[:-1]
+        out[0] = 0.0
+        out[self.offsets[:-1][self.nonempty]] = 0.0
+        return out
+
+    def runmax(self, x: np.ndarray) -> np.ndarray:
+        out = x.copy()
+        step = 1
+        while step < self.max_len:
+            shifted = np.empty_like(out)
+            shifted[step:] = out[:-step]
+            shifted[:step] = -np.inf
+            np.maximum(
+                out, np.where(self.pos >= step, shifted, -np.inf), out=out
+            )
+            step <<= 1
+        return out
+
+    # --- reductions ----------------------------------------------------
+
+    def _reduceat(self, ufunc, x: np.ndarray, empty_val: float) -> np.ndarray:
+        out = np.full(self.n, empty_val, dtype=np.float64)
+        if self.total == 0 or not self.nonempty.any():
+            return out
+        starts = self.offsets[:-1][self.nonempty]
+        out[self.nonempty] = ufunc.reduceat(x, starts)
+        # reduceat quirk: if a start index equals len(x) it wraps; our
+        # nonempty filter guarantees starts < len(x).
+        return out
+
+    def sum(self, x: np.ndarray) -> np.ndarray:
+        return self._reduceat(np.add, x, 0.0)
+
+    def max(self, x: np.ndarray) -> np.ndarray:
+        return self._reduceat(np.maximum, x, 0.0)
+
+    def min(self, x: np.ndarray) -> np.ndarray:
+        return self._reduceat(np.minimum, x, 0.0)
+
+    def gather_last(self, x: np.ndarray) -> np.ndarray:
+        out = np.zeros(self.n, dtype=np.float64)
+        out[self.nonempty] = x[self.offsets[1:][self.nonempty] - 1]
+        return out
+
+    def gather_at(self, x: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        """Value at per-segment position ``idx`` (clipped into segment)."""
+        out = np.zeros(self.n, dtype=np.float64)
+        ne = self.nonempty
+        pos = self.offsets[:-1][ne] + np.clip(
+            idx[ne], 0, self.lengths[ne] - 1
+        )
+        out[ne] = x[pos]
+        return out
+
+    def broadcast(self, per_seg: np.ndarray) -> np.ndarray:
+        # np.repeat beats per_seg[seg_id]: sequential write, no gather
+        return np.repeat(per_seg, self.lengths)
+
+
+# ---------------------------------------------------------------------------
+# preparateurs (univariate)
+# ---------------------------------------------------------------------------
+
+def inc_flat(seg: Seg, x: np.ndarray, shift: int = 1, depth: int = 1,
+             zero_padding: bool = True) -> np.ndarray:
+    out = x
+    for _ in range(depth):
+        nxt = np.zeros_like(out)
+        nxt[shift:] = out[shift:] - out[:-shift]
+        # zero (or restore) the first `shift` entries of every segment
+        head = seg.pos < shift
+        nxt[head] = 0.0 if zero_padding else x[head]
+        out = nxt
+    return out
+
+
+def std_flat(seg: Seg, x: np.ndarray, var: bool = True,
+             eps: float = 1e-5) -> np.ndarray:
+    n = np.maximum(seg.lengths, 1).astype(np.float64)
+    mu = seg.sum(x) / n
+    mu_b = seg.broadcast(mu)
+    if var:
+        sd = np.sqrt(seg.sum((x - mu_b) ** 2) / n)
+    else:
+        sd = np.zeros(seg.n)
+        sd += 1.0 - eps  # so (sd + eps) == 1
+    return (x - mu_b) / seg.broadcast(sd + eps)
+
+
+def nrm_flat(seg: Seg, x: np.ndarray) -> np.ndarray:
+    lo = seg._reduceat(np.minimum, x, 0.0)
+    hi = seg._reduceat(np.maximum, x, 0.0)
+    span = hi - lo
+    safe = np.where(span == 0, 1.0, span)
+    out = (x - seg.broadcast(lo)) / seg.broadcast(safe)
+    return np.where(seg.broadcast(span) == 0, 0.0, out)
+
+
+# ---------------------------------------------------------------------------
+# weighting lookups + coquantiles
+# ---------------------------------------------------------------------------
+
+def _nrm01_flat(seg: Seg, x: np.ndarray) -> np.ndarray:
+    lo = seg._reduceat(np.minimum, x, 0.0)
+    hi = seg._reduceat(np.maximum, x, 0.0)
+    span = hi - lo
+    safe = np.where(span == 0, 1.0, span)
+    out = (x - seg.broadcast(lo)) / seg.broadcast(safe)
+    return np.where(seg.broadcast(span) == 0, 0.0, out)
+
+
+def indices_lookup_flat(seg: Seg, relative: bool = True,
+                        scale: float = 50.0) -> np.ndarray:
+    r = (seg.pos + 1).astype(np.float64)
+    if relative:
+        r = r / seg.broadcast(seg.lengths.astype(np.float64))
+    return _nrm01_flat(seg, r) * scale
+
+
+def l1_mass_flat(seg: Seg, x: np.ndarray) -> np.ndarray:
+    return seg.cumsum(np.abs(inc_flat(seg, x)))
+
+
+def l2_mass_flat(seg: Seg, x: np.ndarray) -> np.ndarray:
+    d = inc_flat(seg, x)
+    return seg.cumsum(d * d)
+
+
+def l1_lookup_flat(seg: Seg, x: np.ndarray, relative: bool = False,
+                   scale: float = 50.0) -> np.ndarray:
+    s = l1_mass_flat(seg, x)
+    if relative:
+        s = s / (seg.broadcast(seg.gather_last(s)) + 1e-5)
+    return _nrm01_flat(seg, s) * scale
+
+
+def l2_lookup_flat(seg: Seg, x: np.ndarray, relative: bool = False,
+                   scale: float = 50.0) -> np.ndarray:
+    s = l2_mass_flat(seg, x)
+    if relative:
+        s = s / (seg.broadcast(seg.gather_last(s)) + 1e-5)
+    return _nrm01_flat(seg, s) * scale
+
+
+def coquantile_flat(seg: Seg, x: np.ndarray, q: float,
+                    norm: str = "L2") -> np.ndarray:
+    mass = l1_mass_flat(seg, x) if norm == "L1" else l2_mass_flat(seg, x)
+    last = seg.broadcast(seg.gather_last(mass))
+    return seg.sum((mass <= q * last).astype(np.float64)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# ISS scans (univariate SimpleWords)
+# ---------------------------------------------------------------------------
+
+def _pow1(x: np.ndarray, e: int) -> np.ndarray:
+    out = np.ones_like(x)
+    if e > 0:
+        for _ in range(int(e)):
+            out = out * x
+    elif e < 0:
+        for _ in range(int(-e)):
+            out = out / x
+    return out
+
+
+def iss_flat(
+    seg: Seg,
+    x: np.ndarray,
+    word: np.ndarray,
+    extended: int = 1,
+    semiring: str = "reals",
+    alpha: np.ndarray | None = None,
+    lookup: np.ndarray | None = None,
+    total: bool = False,
+) -> list[np.ndarray]:
+    """Univariate ISS on a flat batch; returns ``extended`` flat stream
+    arrays (shortest prefix first).  Same recurrences as
+    :func:`fruits_spark.kernels.iss.iss` with segmented scans."""
+    exps = word[:, 0]
+    k_total = len(exps)
+    weighted = lookup is not None
+    if weighted:
+        a = np.asarray(
+            alpha if alpha is not None else np.ones(k_total), dtype=np.float32
+        ).astype(np.float64)
+    results: list[np.ndarray] = []
+
+    if semiring == "reals":
+        tmp = np.ones_like(x)
+        if weighted and total:
+            for k in range(k_total):
+                tmp = tmp * _pow1(x, exps[k])
+                tmp = seg.cumsum(tmp * np.exp(lookup * a[k]))
+                if k_total - k <= extended:
+                    results.append(tmp * np.exp(-lookup * a[k]))
+                if k < k_total - 1:
+                    tmp = seg.shift1(tmp) * np.exp(-lookup * a[k])
+        else:
+            for k in range(k_total):
+                if k > 0:
+                    tmp = seg.shift1(tmp)
+                tmp = tmp * _pow1(x, exps[k])
+                if weighted and k > 0:
+                    tmp = tmp * np.exp(-lookup * a[k - 1])
+                if k_total - k <= extended:
+                    results.append(seg.cumsum(tmp))
+                if k < k_total - 1:
+                    if weighted:
+                        tmp = seg.cumsum(tmp * np.exp(lookup * a[k]))
+                    else:
+                        tmp = seg.cumsum(tmp)
+    elif semiring == "arctic":
+        tmp = np.zeros_like(x)
+        if weighted and total:
+            for k in range(k_total):
+                tmp = tmp + float(exps[k]) * x
+                tmp = seg.runmax(tmp + lookup * a[k])
+                if k_total - k <= extended:
+                    results.append(tmp - lookup * a[k])
+                if k < k_total - 1:
+                    tmp = tmp - lookup * a[k]
+        else:
+            for k in range(k_total):
+                tmp = tmp + float(exps[k]) * x
+                if weighted and k > 0:
+                    tmp = tmp - lookup * a[k - 1]
+                if k_total - k <= extended:
+                    results.append(seg.runmax(tmp))
+                if k < k_total - 1:
+                    if weighted:
+                        tmp = seg.runmax(tmp + lookup * a[k])
+                    else:
+                        tmp = seg.runmax(tmp)
+    elif semiring == "bayesian":
+        tmp = np.ones_like(x)
+        for k in range(k_total):
+            tmp = tmp * _pow1(x, exps[k])
+            if weighted and k > 0:
+                tmp = tmp * np.exp(-lookup * a[k - 1])
+            if k_total - k <= extended:
+                results.append(seg.runmax(tmp))
+            if k < k_total - 1:
+                if weighted:
+                    tmp = seg.runmax(tmp * np.exp(lookup * a[k]))
+                else:
+                    tmp = seg.runmax(tmp)
+    else:
+        raise ValueError(semiring)
+    return results
+
+
+# ---------------------------------------------------------------------------
+# sieves on flat streams
+# ---------------------------------------------------------------------------
+
+def resolve_cuts_flat(seg: Seg, cuts, norm: str, src: np.ndarray) -> np.ndarray:
+    """(n, len(cuts)+1) sorted cut-index matrix; float cuts -> coquantile
+    of the *source* series mass (matches bucketed resolve_cuts)."""
+    out = np.zeros((seg.n, len(cuts) + 1), dtype=np.int64)
+    for i, c in enumerate(cuts):
+        if isinstance(c, float):
+            out[:, i + 1] = coquantile_flat(seg, src, c, norm)
+        else:
+            out[:, i + 1] = c if c >= 0 else seg.lengths + c + 1
+    out.sort(axis=1)
+    return out
+
+
+def _seg_band_mask(seg: Seg, stream, cuts, j, quantiles, k):
+    """Mask for (segment j, band k), or None when it is all-true.
+
+    The common case — full segment (cut -1) and full band (-inf, inf] —
+    needs no mask; skipping it removes ~6 full-array passes per
+    (stream, sieve) pair, which dominates memory traffic at scale.
+    """
+    full_seg = bool(
+        np.all(cuts[:, j] == 0) and np.all(cuts[:, j + 1] == seg.lengths)
+    )
+    full_band = bool(
+        np.isneginf(quantiles[k]) and np.isposinf(quantiles[k + 1])
+    )
+    m = None
+    if not full_seg:
+        lo = seg.broadcast(cuts[:, j])
+        hi = seg.broadcast(cuts[:, j + 1])
+        m = (seg.pos >= lo) & (seg.pos < hi)
+    if not full_band:
+        band = (quantiles[k] < stream) & (stream <= quantiles[k + 1])
+        m = band if m is None else (m & band)
+    return m
+
+
+def _masked_feature(seg, stream, cuts, quantiles, reducer, empty=0.0):
+    nseg = cuts.shape[1] - 1
+    nb = len(quantiles) - 1
+    out = np.zeros((seg.n, nseg * nb))
+    for j in range(nseg):
+        for k in range(nb):
+            m = _seg_band_mask(seg, stream, cuts, j, quantiles, k)
+            out[:, j * nb + k] = reducer(m)
+    return out
+
+
+def sieve_max_flat(seg, stream, cuts, quantiles):
+    def red(m):
+        x = stream if m is None else np.where(m, stream, -np.inf)
+        v = seg._reduceat(np.maximum, x, -np.inf)
+        return np.where(np.isfinite(v), v, 0.0)
+    return _masked_feature(seg, stream, cuts, quantiles, red)
+
+
+def sieve_min_flat(seg, stream, cuts, quantiles):
+    def red(m):
+        x = stream if m is None else np.where(m, stream, np.inf)
+        v = seg._reduceat(np.minimum, x, np.inf)
+        return np.where(np.isfinite(v), v, 0.0)
+    return _masked_feature(seg, stream, cuts, quantiles, red)
+
+
+def sieve_end_flat(seg, stream, cuts):
+    out = np.zeros((seg.n, cuts.shape[1] - 1))
+    for j in range(cuts.shape[1] - 1):
+        out[:, j] = seg.gather_at(stream, cuts[:, j + 1] - 1)
+    return out
+
+
+def sieve_cur_flat(seg, stream, cuts, quantiles):
+    x2 = inc_flat(seg, inc_flat(seg, stream))
+    def red(m):
+        return seg.sum(x2 * x2 if m is None else np.where(m, x2 * x2, 0.0))
+    return _masked_feature(seg, x2, cuts, quantiles, red)
+
+
+def _pre_inc_flat(seg, stream, inc):
+    arr = stream
+    if inc > 0:
+        for _ in range(inc):
+            arr = inc_flat(seg, arr)
+    elif inc < 0:
+        for _ in range(-inc):
+            arr = seg.cumsum(arr)
+    return arr
+
+
+def sieve_npi_flat(seg, stream, cuts, quantiles, inc=1):
+    arr = _pre_inc_flat(seg, stream, inc)
+    def red(m):
+        if m is None:
+            return seg.lengths.astype(np.float64)
+        return seg.sum(m.astype(np.float64))
+    return _masked_feature(seg, arr, cuts, quantiles, red)
+
+
+def sieve_mpi_flat(seg, stream, cuts, quantiles, inc=1):
+    arr = _pre_inc_flat(seg, stream, inc)
+    def red(m):
+        if m is None:
+            cnt = seg.lengths.astype(np.float64)
+            s = seg.sum(arr)
+        else:
+            cnt = seg.sum(m.astype(np.float64))
+            s = seg.sum(np.where(m, arr, 0.0))
+        return np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+    return _masked_feature(seg, arr, cuts, quantiles, red)
+
+
+def sieve_xpi_flat(seg, stream, cuts, quantiles, inc=1):
+    arr = _pre_inc_flat(seg, stream, inc)
+    nseg = cuts.shape[1] - 1
+    nb = len(quantiles) - 1
+    out = np.zeros((seg.n, nseg * nb))
+    for j in range(nseg):
+        rel = seg.pos - seg.broadcast(cuts[:, j])
+        for k in range(nb):
+            m = _seg_band_mask(seg, arr, cuts, j, quantiles, k)
+            if m is None:
+                cnt = seg.lengths.astype(np.float64)
+                s = seg.sum(rel.astype(np.float64))
+            else:
+                cnt = seg.sum(m.astype(np.float64))
+                s = seg.sum(np.where(m, rel, 0).astype(np.float64))
+            out[:, j * nb + k] = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+    return out
+
+
+def sieve_lpi_flat(seg, stream, cuts, quantiles, inc=1):
+    arr = _pre_inc_flat(seg, stream, inc)
+    nseg = cuts.shape[1] - 1
+    nb = len(quantiles) - 1
+    out = np.zeros((seg.n, nseg * nb))
+    gidx = np.arange(seg.total)
+    seg_start = seg.broadcast(seg.offsets[:-1])
+    for j in range(nseg):
+        for k in range(nb):
+            m = _seg_band_mask(seg, arr, cuts, j, quantiles, k)
+            if m is None:
+                out[:, j * nb + k] = seg.lengths
+                continue
+            last_false = np.maximum.accumulate(np.where(~m, gidx, -1))
+            reset = np.maximum(last_false, seg_start - 1)
+            runs = np.where(m, gidx - reset, 0)
+            out[:, j * nb + k] = seg.max(runs.astype(np.float64))
+    return out
+
+
+def sieve_ppv_flat(seg, stream, quantiles, segments=False):
+    n = np.maximum(seg.lengths, 1).astype(np.float64)
+    qs = list(quantiles)
+    if segments:
+        out = np.zeros((seg.n, len(qs) - 1))
+        for j in range(1, len(qs)):
+            m = (qs[j - 1] <= stream) & (stream < qs[j])
+            out[:, j - 1] = seg.sum(m.astype(np.float64)) / n
+        return out
+    out = np.zeros((seg.n, len(qs)))
+    for j, q in enumerate(qs):
+        out[:, j] = seg.sum((stream >= q).astype(np.float64)) / n
+    return out
+
+
+def sieve_cpv_flat(seg, stream, quantiles, segments=False):
+    n_even = (seg.lengths + (seg.lengths % 2)).astype(np.float64)
+    n_even = np.maximum(n_even, 1)
+    qs = list(quantiles)
+    def rising(mask):
+        d = inc_flat(seg, mask.astype(np.float64))
+        return seg.sum((d == 1).astype(np.float64))
+    if segments:
+        out = np.zeros((seg.n, len(qs) - 1))
+        for j in range(1, len(qs)):
+            out[:, j - 1] = 2 * rising((qs[j - 1] <= stream) & (stream < qs[j])) / n_even
+        return out
+    out = np.zeros((seg.n, len(qs)))
+    for j, q in enumerate(qs):
+        out[:, j] = 2 * rising(stream >= q) / n_even
+    return out
