@@ -225,9 +225,10 @@ def main() -> None:
         # analogue adds nodes, i.e. bandwidth scales with executors).
         # min-of-2 to suppress noisy-neighbor variance on the shared host.
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
         n_big = 4 * n_small
-        t_small = min(run_at(n_small, n_docs, tok_path) for _ in range(2))
-        t_big = min(run_at(n_big, n_docs, tok_path) for _ in range(2))
+        t_small = min(run_at(n_small, n_docs, tok_path) for _ in range(reps))
+        t_big = min(run_at(n_big, n_docs, tok_path) for _ in range(reps))
         eff = (t_small / t_big) / 4.0
         result["scaling"] = {
             f"local{n_small}_sec": round(t_small, 3),
