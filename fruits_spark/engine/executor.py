@@ -51,35 +51,60 @@ def _apply_prep(Z: np.ndarray, p: Pl.Prep) -> np.ndarray:
     return fn(Z, **p.params)
 
 
-def _lookup_for(spec: Pl.ISSSpec, Z: np.ndarray):
+def _lookup_for(spec: Pl.ISSSpec, Z: np.ndarray, Z_orig: np.ndarray | None = None):
+    """Weighting lookup table.  L1/L2 default to the ORIGINAL input
+    (reference: weighting.py:148-150, cache input = the fruit's X);
+    ``on_prepared=True`` switches to the ISS's direct input ``Z``."""
     if spec.weighting is None:
         return None
     n, _, length = Z.shape
     wp = dict(spec.weighting_params)
+    on_prepared = wp.pop("on_prepared", False)
+    base = Z if (on_prepared or Z_orig is None) else Z_orig
     if spec.weighting == "indices":
         return KI.indices_lookup(n, length, **wp)
     if spec.weighting == "l1":
-        return KI.l1_lookup(Z, **wp)
+        return KI.l1_lookup(base, **wp)
     if spec.weighting == "l2":
-        return KI.l2_lookup(Z, **wp)
+        return KI.l2_lookup(base, **wp)
     if spec.weighting == "plateaus":
         return KI.plateaus_lookup(n, length, **wp)
     raise ValueError(spec.weighting)
 
 
-def _apply_sieve(stream: np.ndarray, sv: Pl.Sieve, Z_src: np.ndarray) -> np.ndarray:
-    """stream (n, l) -> features (n, k).  ``Z_src`` is the prepared input
-    batch — coquantile cuts are computed on it, not on the stream."""
+def _sieve_quantiles(sv: Pl.Sieve, stream_idx: int):
+    """Band values for this stream: per-stream fitted values if the plan
+    was fitted (reference fits one sieve copy per stream,
+    fruit.py:488-496), else the unfitted -inf/0/inf resolution."""
+    from ..kernels.sieve import resolve_quantiles
+
+    p = sv.params
+    if "q_values_per_stream" in p:
+        return np.asarray(p["q_values_per_stream"][stream_idx])
+    return np.asarray(
+        p.get("q_values", resolve_quantiles(None, p.get("q", (-1.0, 1.0))))
+    )
+
+
+def _ppv_quantiles(sv: Pl.Sieve, stream_idx: int):
+    p = sv.params
+    if "quantiles_per_stream" in p:
+        return list(p["quantiles_per_stream"][stream_idx])
+    return list(p.get("quantiles", [0.5]))
+
+
+def _apply_sieve(stream: np.ndarray, sv: Pl.Sieve, Z_src: np.ndarray,
+                 stream_idx: int = 0) -> np.ndarray:
+    """stream (n, l) -> features (n, k).  ``Z_src`` is the slice's
+    original input batch — coquantile cuts are computed on it."""
     p = sv.params
     if sv.kind in ("ppv", "cpv"):
-        qs = p.get("quantiles", [0.5])
+        qs = _ppv_quantiles(sv, stream_idx)
         fn = KS.sieve_ppv if sv.kind == "ppv" else KS.sieve_cpv
         return fn(stream, qs, segments=p.get("segments", False))
     cuts_spec = p.get("cuts", [-1])
     norm = p.get("norm", "L2")
-    q = np.asarray(
-        p.get("q_values", KS.resolve_quantiles(None, p.get("q", (-1.0, 1.0))))
-    )
+    q = _sieve_quantiles(sv, stream_idx)
     if sv.kind in ("npi", "mpi", "xpi", "lpi"):
         fn = {
             "npi": KS.sieve_npi, "mpi": KS.sieve_mpi,
@@ -103,6 +128,35 @@ def _apply_sieve(stream: np.ndarray, sv: Pl.Sieve, Z_src: np.ndarray) -> np.ndar
     raise ValueError(sv.kind)
 
 
+def _emit_streams_block(Zp: np.ndarray, specs: tuple, Z_orig=None):
+    """Yield final-level streams (n, l) for a chain of ISS specs on a
+    3-D block (chained ISS semantics: fruit.py:440-454 — each stream of
+    spec_i feeds spec_{i+1} as a univariate series)."""
+    spec = specs[0]
+    lookup = _lookup_for(spec, Zp, Z_orig)
+    pplan = spec.plan()
+    for wi, w in enumerate(spec.words):
+        depth = pplan.depth(wi) if pplan is not None else 1
+        if depth == 0:
+            continue
+        alpha = (
+            np.array(w.alpha, dtype=np.float32)
+            if spec.weighting is not None else None
+        )
+        streams = KI.iss(
+            Zp, w.matrix, extended=depth, semiring=spec.semiring,
+            alpha=alpha, lookup=lookup, total=spec.total,
+        )
+        for s in range(depth):
+            stream = streams[:, s, :]
+            if len(specs) == 1:
+                yield stream
+            else:
+                yield from _emit_streams_block(
+                    stream[:, np.newaxis, :], specs[1:], Z_orig
+                )
+
+
 def compute_features_block(Z: np.ndarray, fplan: Pl.FruitPlan) -> np.ndarray:
     """One equal-length 3-D block -> (n, n_features) float64.
 
@@ -117,26 +171,14 @@ def compute_features_block(Z: np.ndarray, fplan: Pl.FruitPlan) -> np.ndarray:
         Zp = Z
         for p in sl.preps:
             Zp = _apply_prep(Zp, p)
-        spec = sl.iss
-        lookup = _lookup_for(spec, Zp)
-        alpha = None
-        pplan = spec.plan()
-        for wi, w in enumerate(spec.words):
-            depth = pplan.depth(wi) if pplan is not None else 1
-            if depth == 0:
-                continue
-            if spec.weighting is not None:
-                alpha = np.array(w.alpha, dtype=np.float32)
-            streams = KI.iss(
-                Zp, w.matrix, extended=depth, semiring=spec.semiring,
-                alpha=alpha, lookup=lookup, total=spec.total,
-            )
-            for s in range(depth):
-                stream = streams[:, s, :]
-                for sv in sl.sieves:
-                    feats = _apply_sieve(stream, sv, Zp)
-                    out[:, col:col + feats.shape[1]] = feats
-                    col += feats.shape[1]
+        # sieve coquantile cuts come from the fruit-level cache, i.e. the
+        # ORIGINAL input Z, not the prepared/chained stream
+        # (reference: FruitSlice uses the fruit's SharedSeedCache(X))
+        for si, stream in enumerate(_emit_streams_block(Zp, sl.iss_chain(), Z)):
+            for sv in sl.sieves:
+                feats = _apply_sieve(stream, sv, Z, si)
+                out[:, col:col + feats.shape[1]] = feats
+                col += feats.shape[1]
     if col != fplan.n_features():
         raise AssertionError(f"feature accounting: {col} != {fplan.n_features()}")
     return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
@@ -156,10 +198,11 @@ def plan_is_flat(fplan: Pl.FruitPlan) -> bool:
             return False
         if any(sv.kind not in _FLAT_SIEVES for sv in sl.sieves):
             return False
-        if sl.iss.semiring not in ("reals", "arctic", "bayesian"):
-            return False
-        if any(w.matrix.shape[1] > 1 for w in sl.iss.words):
-            return False
+        for spec in sl.iss_chain():
+            if spec.semiring not in ("reals", "arctic", "bayesian"):
+                return False
+            if any(w.matrix.shape[1] > 1 for w in spec.words):
+                return False
     return True
 
 
@@ -181,54 +224,72 @@ def compute_features_flat(
                 p.kind
             ]
             xp = fn(seg, xp, **p.params)
-        spec = sl.iss
-        lookup = None
-        if spec.weighting == "indices":
-            lookup = KF.indices_lookup_flat(seg, **spec.weighting_params)
-        elif spec.weighting == "l1":
-            lookup = KF.l1_lookup_flat(seg, xp, **spec.weighting_params)
-        elif spec.weighting == "l2":
-            lookup = KF.l2_lookup_flat(seg, xp, **spec.weighting_params)
-        elif spec.weighting is not None:
-            raise ValueError(spec.weighting)
-        pplan = spec.plan()
-        for wi, w in enumerate(spec.words):
-            depth = pplan.depth(wi) if pplan is not None else 1
-            if depth == 0:
-                continue
-            alpha = (
-                np.array(w.alpha, dtype=np.float32)
-                if spec.weighting is not None
-                else None
-            )
-            streams = KF.iss_flat(
-                seg, xp, w.matrix, extended=depth, semiring=spec.semiring,
-                alpha=alpha, lookup=lookup, total=spec.total,
-            )
-            for stream in streams:
-                for sv in sl.sieves:
-                    feats = _apply_sieve_flat(seg, stream, sv, xp)
-                    out[:, col:col + feats.shape[1]] = feats
-                    col += feats.shape[1]
+        for si, stream in enumerate(
+            _emit_streams_flat(seg, xp, sl.iss_chain(), values)
+        ):
+            for sv in sl.sieves:
+                feats = _apply_sieve_flat(seg, stream, sv, values, si)
+                out[:, col:col + feats.shape[1]] = feats
+                col += feats.shape[1]
     if col != fplan.n_features():
         raise AssertionError(f"feature accounting: {col} != {fplan.n_features()}")
     return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
 
 
-def _apply_sieve_flat(seg, stream, sv: Pl.Sieve, src: np.ndarray) -> np.ndarray:
+def _lookup_flat(spec: Pl.ISSSpec, seg, xp, x_orig):
     from ..kernels import flat as KF
-    from ..kernels import sieve as KS
+
+    if spec.weighting is None:
+        return None
+    wp = dict(spec.weighting_params)
+    on_prepared = wp.pop("on_prepared", False)
+    base = xp if on_prepared else x_orig
+    if spec.weighting == "indices":
+        return KF.indices_lookup_flat(seg, **wp)
+    if spec.weighting == "l1":
+        return KF.l1_lookup_flat(seg, base, **wp)
+    if spec.weighting == "l2":
+        return KF.l2_lookup_flat(seg, base, **wp)
+    raise ValueError(spec.weighting)
+
+
+def _emit_streams_flat(seg, xp: np.ndarray, specs: tuple, x_orig: np.ndarray):
+    from ..kernels import flat as KF
+
+    spec = specs[0]
+    lookup = _lookup_flat(spec, seg, xp, x_orig)
+    pplan = spec.plan()
+    for wi, w in enumerate(spec.words):
+        depth = pplan.depth(wi) if pplan is not None else 1
+        if depth == 0:
+            continue
+        alpha = (
+            np.array(w.alpha, dtype=np.float32)
+            if spec.weighting is not None else None
+        )
+        streams = KF.iss_flat(
+            seg, xp, w.matrix, extended=depth, semiring=spec.semiring,
+            alpha=alpha, lookup=lookup, total=spec.total,
+        )
+        for stream in streams:
+            if len(specs) == 1:
+                yield stream
+            else:
+                yield from _emit_streams_flat(seg, stream, specs[1:], x_orig)
+
+
+def _apply_sieve_flat(seg, stream, sv: Pl.Sieve, src: np.ndarray,
+                      stream_idx: int = 0) -> np.ndarray:
+    from ..kernels import flat as KF
 
     p = sv.params
     if sv.kind in ("ppv", "cpv"):
-        qs = p.get("quantiles", [0.5])
+        qs = _ppv_quantiles(sv, stream_idx)
         fn = KF.sieve_ppv_flat if sv.kind == "ppv" else KF.sieve_cpv_flat
         return fn(seg, stream, qs, segments=p.get("segments", False))
     cuts_spec = list(p.get("cuts", [-1]))
     norm = p.get("norm", "L2")
-    q = np.asarray(
-        p.get("q_values", KS.resolve_quantiles(None, p.get("q", (-1.0, 1.0))))
-    )
+    q = _sieve_quantiles(sv, stream_idx)
     if sv.kind in ("npi", "mpi", "xpi", "lpi"):
         cuts = KF.resolve_cuts_flat(seg, cuts_spec, norm, src)
         fn = {
@@ -283,55 +344,75 @@ def _features_padded_ctx(ctx, fplan: Pl.FruitPlan) -> np.ndarray:
             Xp = fn(ctx, Xp, **p.params)
             # keep pads at zero so downstream tail assumptions hold
             Xp = np.where(ctx.valid, Xp, 0.0)
-        spec = sl.iss
-        lookup = None
-        if spec.weighting == "indices":
-            lookup = KP2.indices_lookup_p(ctx, **spec.weighting_params)
-        elif spec.weighting == "l1":
-            lookup = KP2.l1_lookup_p(ctx, Xp, **spec.weighting_params)
-        elif spec.weighting == "l2":
-            lookup = KP2.l2_lookup_p(ctx, Xp, **spec.weighting_params)
-        elif spec.weighting is not None:
-            raise ValueError(spec.weighting)
-        pplan = spec.plan()
-        for wi, w in enumerate(spec.words):
-            depth = pplan.depth(wi) if pplan is not None else 1
-            if depth == 0:
-                continue
-            alpha = (
-                np.array(w.alpha, dtype=np.float32)
-                if spec.weighting is not None
-                else None
-            )
-            streams = KP2.iss_p(
-                ctx, Xp, w.matrix, extended=depth, semiring=spec.semiring,
-                alpha=alpha, lookup=lookup, total=spec.total,
-            )
-            # reals streams over zero pads have constant tails, enabling
-            # mask-free sieves; arctic/bayesian/negative-exponent tails
-            # are not constant -> masked sieve paths
-            tail_const = (
-                spec.semiring == "reals"
-                and bool(np.all(w.matrix >= 0))
-            )
-            for s in range(depth):
-                stream = streams[:, s, :]
-                for sv in sl.sieves:
-                    feats = _apply_sieve_padded(ctx, stream, sv, Xp, tail_const)
-                    out[:, col:col + feats.shape[1]] = feats
-                    col += feats.shape[1]
+        for si, (stream, tail_const) in enumerate(_emit_streams_padded(
+            ctx, Xp, sl.iss_chain(), ctx.X
+        )):
+            for sv in sl.sieves:
+                feats = _apply_sieve_padded(
+                    ctx, stream, sv, ctx.X, tail_const, si
+                )
+                out[:, col:col + feats.shape[1]] = feats
+                col += feats.shape[1]
     if col != fplan.n_features():
         raise AssertionError(f"feature accounting: {col} != {fplan.n_features()}")
     return out
 
 
-def _apply_sieve_padded(ctx, stream, sv: Pl.Sieve, src, tail_const: bool):
+def _emit_streams_padded(ctx, Xp: np.ndarray, specs: tuple, X_orig: np.ndarray):
+    """Yield (final stream (n, L), tail_const) for a padded-band chain.
+    Intermediate streams are re-zeroed at pads between levels so the
+    next level's zero-pad invariants hold."""
     from ..kernels import padded as KP2
-    from ..kernels import sieve as KS
+
+    spec = specs[0]
+    lookup = None
+    wp = dict(spec.weighting_params)
+    on_prepared = wp.pop("on_prepared", False)
+    base = Xp if on_prepared else X_orig
+    if spec.weighting == "indices":
+        lookup = KP2.indices_lookup_p(ctx, **wp)
+    elif spec.weighting == "l1":
+        lookup = KP2.l1_lookup_p(ctx, base, **wp)
+    elif spec.weighting == "l2":
+        lookup = KP2.l2_lookup_p(ctx, base, **wp)
+    elif spec.weighting is not None:
+        raise ValueError(spec.weighting)
+    pplan = spec.plan()
+    for wi, w in enumerate(spec.words):
+        depth = pplan.depth(wi) if pplan is not None else 1
+        if depth == 0:
+            continue
+        alpha = (
+            np.array(w.alpha, dtype=np.float32)
+            if spec.weighting is not None else None
+        )
+        streams = KP2.iss_p(
+            ctx, Xp, w.matrix, extended=depth, semiring=spec.semiring,
+            alpha=alpha, lookup=lookup, total=spec.total,
+        )
+        # reals streams over zero pads have constant tails, enabling
+        # mask-free sieves; arctic/bayesian/negative-exponent tails are
+        # not constant -> masked sieve paths
+        tail_const = (
+            spec.semiring == "reals" and bool(np.all(w.matrix >= 0))
+        )
+        for s in range(depth):
+            stream = streams[:, s, :]
+            if len(specs) == 1:
+                yield stream, tail_const
+            else:
+                yield from _emit_streams_padded(
+                    ctx, np.where(ctx.valid, stream, 0.0), specs[1:], X_orig
+                )
+
+
+def _apply_sieve_padded(ctx, stream, sv: Pl.Sieve, src, tail_const: bool,
+                        stream_idx: int = 0):
+    from ..kernels import padded as KP2
 
     p = sv.params
     if sv.kind in ("ppv", "cpv"):
-        qs = p.get("quantiles", [0.5])
+        qs = _ppv_quantiles(sv, stream_idx)
         if sv.kind == "ppv":
             return KP2.sieve_ppv_p(
                 ctx, stream, qs, segments=p.get("segments", False),
@@ -340,9 +421,7 @@ def _apply_sieve_padded(ctx, stream, sv: Pl.Sieve, src, tail_const: bool):
         return KP2.sieve_cpv_p(ctx, stream, qs, segments=p.get("segments", False))
     cuts_spec = list(p.get("cuts", [-1]))
     norm = p.get("norm", "L2")
-    q = np.asarray(
-        p.get("q_values", KS.resolve_quantiles(None, p.get("q", (-1.0, 1.0))))
-    )
+    q = _sieve_quantiles(sv, stream_idx)
     cuts = KP2.resolve_cuts_p(ctx, cuts_spec, norm, src)
     if sv.kind in ("npi", "mpi", "xpi", "lpi"):
         return KP2._inc_family_p(ctx, stream, cuts, q, p.get("inc", 1), sv.kind)
@@ -373,12 +452,16 @@ def extract_features(
     tokens_col: str = "tokens",
     keep: tuple[str, ...] = ("doc_id", "source", "n_tok"),
     cast_scale: float | None = None,
+    multivariate: bool = False,
 ) -> DataFrame:
     """Token table -> per-doc feature table (one mapInPandas, no shuffle).
 
     ``cast_scale``: optional multiplier applied after casting tokens to
     float64 (e.g. 1/TOKEN_MOD to keep monomials bounded without a fitted
     preparateur).
+
+    ``multivariate``: ``tokens_col`` holds array<array<double>> (dims x
+    steps) — routed through the length-bucketed 3-D kernels.
     """
     fcols = feature_columns(fplan)
     keep_fields = [df.schema[k] for k in keep]
@@ -393,6 +476,41 @@ def extract_features(
     # band-padded: padding costs ~1.33x volume + per-band dispatch);
     # SPARK_GRAFT_EXEC=padded selects the band-padded alternative
     use_padded = os.environ.get("SPARK_GRAFT_EXEC", "flat") == "padded"
+
+    def run_multivariate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = list(pdf[tokens_col])
+            lengths = np.fromiter(
+                (len(r[0]) if len(r) else 0 for r in rows),
+                dtype=np.int64, count=len(rows),
+            )
+            feats = np.zeros((len(rows), fplan.n_features()), dtype=np.float64)
+            for ln in np.unique(lengths):
+                idxs = np.nonzero(lengths == ln)[0]
+                if ln == 0:
+                    continue
+                Z = np.array(
+                    [
+                        np.stack(
+                            [np.asarray(d, dtype=np.float64) for d in rows[i]]
+                        )
+                        for i in idxs
+                    ]
+                )
+                if cast_scale is not None:
+                    Z *= cast_scale
+                feats[idxs] = compute_features_block(Z, fplan)
+            out = pdf[list(keep)].reset_index(drop=True)
+            for i, c in enumerate(fcols):
+                out[c] = feats[:, i]
+            yield out
+
+    if multivariate:
+        return df.select(*keep, tokens_col).mapInPandas(
+            run_multivariate, out_schema
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

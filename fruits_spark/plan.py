@@ -102,17 +102,41 @@ class Sieve:
 
 @dataclass(frozen=True)
 class Slice:
+    """[prep*] -> ISS chain -> [sieve+].
+
+    ``iss`` may be one ISSSpec or a tuple: consecutive specs are chained
+    — every stream of spec_i becomes the (univariate) input of
+    spec_{i+1}, and sieves apply to the final level's streams only
+    (reference: fruit.py:440-454, tests/signature/test_consecutive.py).
+    """
+
     preps: tuple[Prep, ...] = ()
-    iss: ISSSpec = None  # type: ignore[assignment]
+    iss: ISSSpec | tuple[ISSSpec, ...] = None  # type: ignore[assignment]
     sieves: tuple[Sieve, ...] = ()
 
+    def iss_chain(self) -> tuple[ISSSpec, ...]:
+        return self.iss if isinstance(self.iss, tuple) else (self.iss,)
+
+    def n_streams(self) -> int:
+        n = 1
+        for spec in self.iss_chain():
+            n *= spec.n_streams()
+        return n
+
     def n_features(self) -> int:
-        return self.iss.n_streams() * sum(s.n_features() for s in self.sieves)
+        return self.n_streams() * sum(s.n_features() for s in self.sieves)
 
     def feature_labels(self) -> list[str]:
         out = []
         prep_tag = "".join(f"{p.kind}>" for p in self.preps)
-        for sl in self.iss.stream_labels():
+        labels = [""]
+        for spec in self.iss_chain():
+            labels = [
+                (f"{a}>>{b}" if a else b)
+                for a in labels
+                for b in spec.stream_labels()
+            ]
+        for sl in labels:
             for sv in self.sieves:
                 for fl in sv.labels():
                     out.append(f"{prep_tag}{sl}>{fl}")

@@ -1,0 +1,125 @@
+"""spark-submit entry point: tiered ISS rollup with resume.
+
+Usage (cluster):
+    python tools/make_pyfiles.py   # -> dist/fruits_spark.zip
+    spark-submit --py-files dist/fruits_spark.zip jobs/rollup_job.py \\
+        --input /data/tokens_parquet --output /data/tiers \\
+        --run-id 2026-08-16 [--resume] [--n-docs-synth 100000]
+
+Reads the token table ``(doc_id, tokens, n_tok, source)``, extracts the
+flagship ISS feature set, materializes the t1k and t100k continuous-
+aggregate tiers with gap-fill and Gorilla/DoD-encoded streams, and
+commits per-(source,bucket) lineage rows so a killed run resumes exactly
+(--resume skips already-committed cells).  Prints one metrics JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="token table parquet path")
+    ap.add_argument("--output", required=True, help="tier output base path")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--n-docs-synth", type=int, default=0,
+                    help="synthesize a token table of this size if no --input")
+    ap.add_argument("--buckets-t1k", type=int, default=1024)
+    ap.add_argument("--salts", type=int, default=16)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from fruits_spark import datagen
+    from fruits_spark.engine import lineage as LI
+    from fruits_spark.engine import rollup as RU
+    from fruits_spark.engine.codec_udf import encode_streams
+    from fruits_spark.engine.executor import extract_features, feature_columns
+    from fruits_spark.engine.session import build_session
+    from fruits_spark.fit import fit_plan
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W, of_weight
+
+    spark = build_session(master=args.master, app=f"iss-rollup-{args.run_id}")
+    t_start = time.time()
+
+    if args.input:
+        toks = spark.read.parquet(args.input)
+    elif args.n_docs_synth:
+        toks = datagen.generate_spark(spark, args.n_docs_synth)
+    else:
+        ap.error("need --input or --n-docs-synth")
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("std"),),
+                iss=ISSSpec(tuple(of_weight(4, 1)), mode="extended"),
+                sieves=(
+                    Sieve("end"),
+                    Sieve("ppv", {"quantiles": [0.0], "constant": [True]}),
+                    Sieve("max"),
+                ),
+            ),
+            Slice(
+                preps=(Prep("std"),),
+                iss=ISSSpec((W("[1][1]"), W("[11][1]")), semiring="arctic"),
+                sieves=(Sieve("end"), Sieve("max")),
+            ),
+        )
+    )
+    fplan = fit_plan(toks, fplan)
+    fc = feature_columns(fplan)
+    n_streams = sum(s.n_streams() for s in fplan.slices)
+
+    feats = extract_features(toks, fplan).cache()
+
+    metrics = {}
+    tiers = (
+        (RU.Tier("t1k", 1_000), args.buckets_t1k),
+        (RU.Tier("t100k", 100_000), max(args.buckets_t1k // 100, 4)),
+    )
+    for tier, nb in tiers:
+        rolled = RU.rollup_tier_salted(
+            feats, tier, nb, fc, n_salts=args.salts
+        )
+        spine = RU.bucket_spine(rolled, nb)
+        filled = RU.gap_fill(
+            rolled, spine, fill_cols={f"sum_{c}": 0 for c in fc[:1]}
+        )
+        if args.resume:
+            pending = LI.pending_cells(
+                filled, spark, args.output, args.run_id, tier.name
+            )
+        else:
+            pending = filled
+        n = LI.commit_cells(
+            pending, spark, args.output, args.run_id, tier.name,
+            n_points_per_doc=n_streams,
+        )
+        metrics[f"{tier.name}_cells_committed"] = n
+        enc = encode_streams(filled, f"sum_{fc[0]}")
+        enc.write.mode("overwrite").parquet(
+            os.path.join(args.output, f"codec_{tier.name}", f"run={args.run_id}")
+        )
+
+    m = LI.run_metrics(spark, args.output, args.run_id).collect()
+    for row in m:
+        metrics[f"{row['tier']}_docs"] = int(row["docs"] or 0)
+        metrics[f"{row['tier']}_tokens"] = int(row["tokens"] or 0)
+    metrics["wall_sec"] = round(time.time() - t_start, 2)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -168,6 +168,39 @@ def test_lineage_resume(spark, token_df, tmp_path):
     assert int(m["cells"].iloc[0]) == total
 
 
+def test_multivariate_x1_goldens_through_spark(spark):
+    """Reference X_1 fixture end-to-end through the Spark surface: END of
+    Reals streams matches tests/signature/test_simple.py:19-34 finals."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    x1 = [
+        [[-4.0, 0.8, 0.0, 5.0, -3.0], [2.0, 1.0, 0.0, 0.0, -7.0]],
+        [[5.0, 8.0, 2.0, 6.0, 0.0], [-5.0, -1.0, -4.0, -0.5, -8.0]],
+    ]
+    df = spark.createDataFrame(
+        [(i, x1[i], "x1", 5) for i in range(2)],
+        "doc_id long, dims array<array<double>>, source string, n_tok int",
+    )
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1]"), W("[12]"), W("[1][2]"))),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    out = (
+        EX.extract_features(df, fplan, tokens_col="dims", multivariate=True)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    fcols = EX.feature_columns(fplan)
+    np.testing.assert_allclose(out[fcols[0]].to_numpy(), [-1.2, 21.0])
+    np.testing.assert_allclose(out[fcols[1]].to_numpy(), [13.8, -44.0])
+    np.testing.assert_allclose(out[fcols[2]].to_numpy(), [-16.6, -232.5])
+
+
 def test_extract_features_plan_is_shuffle_free(spark, token_df):
     feats = EX.extract_features(token_df, PLAN)
     plan_str = feats._jdf.queryExecution().executedPlan().toString()
