@@ -371,6 +371,57 @@ GROUP BY doc_id
 """
 
 
+def q_iss_coswiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-weighted ISS (CosWISS): END of word [1][1] at freq 0.5,
+    exponent 2, on tokens scaled to [0,1]."""
+    from fruits_spark.engine.executor import extract_features, feature_columns
+    from fruits_spark.plan import CosWISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=CosWISSSpec((W("[1][1]"),), (0.5,), exponent=2),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    toks = token_table(spark, sf_dir)
+    out = extract_features(toks, fplan, cast_scale=0.01)
+    return out.select("doc_id", F.round(F.col(fc[0]), 6).alias("cos_end_r6"))
+
+
+# binomial expansion of cos^2(g_j - g_i):  sin^2 sin^2 + 2 sincos sincos
+# + cos^2 cos^2, with multiplication order mirroring the kernel
+SQL_ISS_COSWISS = f"""
+WITH {SQL_TOKS},
+t AS (
+    SELECT doc_id, pos, n_tok, x / 100.0 AS xs,
+           sin(pi() * pos / (0.5 * (n_tok - 1))) AS sg,
+           cos(pi() * pos / (0.5 * (n_tok - 1))) AS cg
+    FROM toks
+),
+r AS (
+    SELECT doc_id, pos, xs, sg, cg,
+           SUM((xs * sg) * sg) OVER w AS r1,
+           SUM((xs * sg) * cg) OVER w AS r2,
+           SUM((xs * cg) * cg) OVER w AS r3
+    FROM t
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id,
+       ROUND(SUM(
+           1 * ((((r1 - (xs * sg) * sg) * xs) * sg) * sg)
+         + 2 * ((((r2 - (xs * sg) * cg) * xs) * sg) * cg)
+         + 1 * ((((r3 - (xs * cg) * cg) * xs) * cg) * cg)
+       ), 6) AS cos_end_r6
+FROM r
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # rollup / gap-fill / salting
 # ---------------------------------------------------------------------------
@@ -930,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iss_inc_prep": q_iss_inc_prep,
         "iss_sieves": q_iss_sieves,
         "iss_weighted": q_iss_weighted,
+        "iss_coswiss": q_iss_coswiss,
         "rollup_tier": q_rollup_tier,
         "rollup_salted": q_rollup_salted,
         "gapfill": q_gapfill,
@@ -955,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
         "iss_inc_prep": SQL_ISS_INC,
         "iss_sieves": SQL_ISS_SIEVES,
         "iss_weighted": SQL_ISS_WEIGHTED,
+        "iss_coswiss": SQL_ISS_COSWISS,
         "rollup_tier": SQL_ROLLUP,
         "rollup_salted": SQL_ROLLUP,
         "gapfill": SQL_GAPFILL,

@@ -133,6 +133,20 @@ def _emit_streams_block(Zp: np.ndarray, specs: tuple, Z_orig=None):
     3-D block (chained ISS semantics: fruit.py:440-454 — each stream of
     spec_i feeds spec_{i+1} as a univariate series)."""
     spec = specs[0]
+    if isinstance(spec, Pl.CosWISSSpec):
+        for w in spec.words:
+            for f in spec.freqs:
+                stream = KI.coswiss(
+                    Zp, w.matrix, f, exponent=spec.exponent,
+                    total=spec.total,
+                )
+                if len(specs) == 1:
+                    yield stream
+                else:
+                    yield from _emit_streams_block(
+                        stream[:, np.newaxis, :], specs[1:], Z_orig
+                    )
+        return
     lookup = _lookup_for(spec, Zp, Z_orig)
     pplan = spec.plan()
     for wi, w in enumerate(spec.words):
@@ -199,11 +213,23 @@ def plan_is_flat(fplan: Pl.FruitPlan) -> bool:
         if any(sv.kind not in _FLAT_SIEVES for sv in sl.sieves):
             return False
         for spec in sl.iss_chain():
+            if isinstance(spec, Pl.CosWISSSpec):
+                if any(w.matrix.shape[1] > 1 for w in spec.words):
+                    return False
+                continue
             if spec.semiring not in ("reals", "arctic", "bayesian"):
                 return False
             if any(w.matrix.shape[1] > 1 for w in spec.words):
                 return False
     return True
+
+
+def plan_has_coswiss(fplan: Pl.FruitPlan) -> bool:
+    return any(
+        isinstance(spec, Pl.CosWISSSpec)
+        for sl in fplan.slices
+        for spec in sl.iss_chain()
+    )
 
 
 def compute_features_flat(
@@ -257,6 +283,18 @@ def _emit_streams_flat(seg, xp: np.ndarray, specs: tuple, x_orig: np.ndarray):
     from ..kernels import flat as KF
 
     spec = specs[0]
+    if isinstance(spec, Pl.CosWISSSpec):
+        for w in spec.words:
+            for f in spec.freqs:
+                stream = KF.coswiss_flat(
+                    seg, xp, w.matrix, f, exponent=spec.exponent,
+                    total=spec.total,
+                )
+                if len(specs) == 1:
+                    yield stream
+                else:
+                    yield from _emit_streams_flat(seg, stream, specs[1:], x_orig)
+        return
     lookup = _lookup_flat(spec, seg, xp, x_orig)
     pplan = spec.plan()
     for wi, w in enumerate(spec.words):
@@ -472,6 +510,7 @@ def extract_features(
     import os
 
     flat = plan_is_flat(fplan)
+    _has_cos = plan_has_coswiss(fplan)  # padded layout lacks a coswiss impl
     # flat segmented is the default hot path (measured ~1.3x faster than
     # band-padded: padding costs ~1.33x volume + per-band dispatch);
     # SPARK_GRAFT_EXEC=padded selects the band-padded alternative
@@ -519,7 +558,7 @@ def extract_features(
             values, offsets = flatten_lists(pdf[tokens_col])
             if cast_scale is not None:
                 values *= cast_scale
-            if flat and use_padded:
+            if flat and use_padded and not _has_cos:
                 feats = compute_features_padded(values, offsets, fplan)
             elif flat:
                 feats = compute_features_flat(values, offsets, fplan)

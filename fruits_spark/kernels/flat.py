@@ -318,6 +318,46 @@ def iss_flat(
     return results
 
 
+def coswiss_flat(
+    seg: Seg,
+    x: np.ndarray,
+    word: np.ndarray,
+    freq: float,
+    exponent: int = 2,
+    total: bool = False,
+) -> np.ndarray:
+    """Univariate CosWISS on a flat batch (same recurrence as
+    :func:`fruits_spark.kernels.iss.coswiss` with segmented scans;
+    the angle grid uses each segment's own length)."""
+    from .iss import coswiss_table
+
+    exps = word[:, 0]
+    f32 = float(np.float32(freq))  # reference kernel takes freq as f4
+    denom = f32 * np.maximum(seg.lengths - 1, 1).astype(np.float64)
+    g = np.pi * seg.pos / seg.broadcast(denom)
+    sin_w, cos_w = np.sin(g), np.cos(g)
+    table = coswiss_table(len(exps), exponent, total)
+    result = np.zeros_like(x)
+    for row in table:
+        tmp = np.ones_like(x)
+        for k in range(len(exps)):
+            if k > 0:
+                tmp = seg.shift1(tmp)
+            tmp = tmp * _pow1(x, exps[k])
+            for _ in range(int(row[2 * k + 1])):
+                tmp = tmp * sin_w
+            for _ in range(int(row[2 * k + 2])):
+                tmp = tmp * cos_w
+            tmp = seg.cumsum(tmp)
+        if total:
+            for _ in range(int(row[2 * len(exps) + 1])):
+                tmp = tmp * sin_w
+            for _ in range(int(row[2 * len(exps) + 2])):
+                tmp = tmp * cos_w
+        result += row[0] * tmp
+    return result
+
+
 # ---------------------------------------------------------------------------
 # sieves on flat streams
 # ---------------------------------------------------------------------------

@@ -301,6 +301,164 @@ def iss_generic(
 
 
 # ---------------------------------------------------------------------------
+# Arctic argmax: values + maximizing indices (reference:
+# semiring.py:239-279)
+# ---------------------------------------------------------------------------
+
+def _runmax_argmax(tmp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Running max along time plus the index of the LAST strict
+    improvement (ties keep the earlier index, matching the reference's
+    ``>=`` keep-branch)."""
+    r = np.maximum.accumulate(tmp, axis=-1)
+    changed = np.empty(tmp.shape, dtype=bool)
+    changed[:, 0] = True
+    changed[:, 1:] = r[:, 1:] > r[:, :-1]
+    pos = np.arange(tmp.shape[-1])[np.newaxis, :]
+    upd = np.where(changed, pos, -1)
+    return r, np.maximum.accumulate(upd, axis=-1).astype(np.float64)
+
+
+def iss_arctic_argmax(
+    Z: np.ndarray,
+    word: np.ndarray,
+    alpha: np.ndarray | None = None,
+    lookup: np.ndarray | None = None,
+) -> np.ndarray:
+    """Arctic ISS with argmax tracking: for a word of length p returns
+    ``p + p(p+1)/2`` streams — per prefix its value stream, plus the
+    maximizing index of each of its letters, back-translated so that at
+    every output position the indices describe the maximizing tuple.
+    Layout matches the reference exactly (semiring.py:268-279)."""
+    if Z.ndim == 2:
+        Z = Z[:, np.newaxis, :]
+    Z = np.ascontiguousarray(Z, dtype=np.float64)
+    n, _, length = Z.shape
+    word = np.asarray(word, dtype=np.int32)
+    if word.shape[1] < Z.shape[1]:
+        word = np.pad(word, ((0, 0), (0, Z.shape[1] - word.shape[1])))
+    p = len(word)
+    if lookup is None:
+        lookup = np.zeros((n, length))
+        alpha = np.zeros(p, dtype=np.float32)
+    a = np.asarray(alpha, dtype=np.float32).astype(np.float64)
+    vals = np.zeros((p, n, length))
+    idxs = np.zeros((p, n, length))
+    tmp = np.zeros((n, length))
+    for k in range(p):
+        if not np.any(word[k]):
+            continue
+        tmp = tmp + _linear_combo(Z, word[k])
+        if k > 0:
+            tmp = tmp - lookup * a[k - 1]
+        vals[k], idxs[k] = _runmax_argmax(tmp)
+        if k < p - 1:
+            tmp = _runmax(tmp + lookup * a[k])
+    n_out = p + p * (p + 1) // 2
+    out = np.zeros((n, n_out, length))
+    pos = np.arange(length)[np.newaxis, :]
+    rows = np.arange(n)
+    for k in range(p - 1, -1, -1):
+        index = k + k * (k + 1) // 2
+        out[:, index, :] = vals[k]
+        out[:, index + k + 1, :] = idxs[k]
+        for s in range(k, 0, -1):
+            # freeze the earlier letter's argmax stream at the position
+            # the later letter's final argmax points to
+            c = out[:, index + s + 1, -1].astype(np.int64) + 1
+            prev = idxs[s - 1]
+            frozen = prev[rows, np.maximum(c - 1, 0)]
+            out[:, index + s, :] = np.where(
+                pos < c[:, np.newaxis], prev, frozen[:, np.newaxis]
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CosWISS: cosine-weighted ISS (reference: iss/cos.py:16-351)
+# ---------------------------------------------------------------------------
+
+def coswiss_table(n_letters: int, exponent: int, total: bool) -> np.ndarray:
+    """Binomial expansion of the gap-wise cosine weights.
+
+    ``cos(g_j - g_i)^s = sum_k C(s,k) (sin g_i sin g_j)^(s-k)
+    (cos g_i cos g_j)^k`` — each of the ``p-1`` gaps independently picks
+    a ``k``, giving rows ``[coeff, sin_1, cos_1, ..., sin_p, cos_p]``
+    ((s+1)^(p-1) rows; p = word length, +1 with total weighting, whose
+    extra letter is the running output position).  Matches the
+    reference's ``_get_weightings`` (cos.py:265-287) without its
+    single-digit string encoding.
+    """
+    from itertools import product as iproduct
+    from math import comb
+
+    p = n_letters + 1 if total else n_letters
+    rows = []
+    for combo in iproduct(range(exponent + 1), repeat=p - 1):
+        row = np.zeros(2 * p + 1, dtype=np.int64)
+        row[0] = 1
+        for i, k in enumerate(combo):
+            row[0] *= comb(exponent, k)
+            sin_e, cos_e = exponent - k, k
+            row[2 * i + 1] += sin_e
+            row[2 * i + 3] += sin_e
+            row[2 * i + 2] += cos_e
+            row[2 * i + 4] += cos_e
+        rows.append(row)
+    return np.array(rows)
+
+
+def _mul_pow(tmp: np.ndarray, base: np.ndarray, e: int) -> np.ndarray:
+    for _ in range(int(e)):
+        tmp = tmp * base
+    return tmp
+
+
+def coswiss(
+    Z: np.ndarray,
+    word: np.ndarray,
+    freq: float,
+    exponent: int = 2,
+    total: bool = False,
+    dropout_indices: np.ndarray | None = None,
+) -> np.ndarray:
+    """Cosine-weighted ISS stream (n, l): summands weighted by
+    ``prod_gaps cos(pi*(t_next - t_prev)/(f*(N-1)))^s`` (cos.py:16-49).
+    ``dropout_indices``: optional (n_letters, r) index array zeroed
+    before each cumsum (the 'leaky' variant, cos.py:55-93; indices drawn
+    seeded on the driver)."""
+    if Z.ndim == 2:
+        Z = Z[:, np.newaxis, :]
+    Z = np.ascontiguousarray(Z, dtype=np.float64)
+    n, _, length = Z.shape
+    word = np.asarray(word, dtype=np.int32)
+    if word.shape[1] < Z.shape[1]:
+        word = np.pad(word, ((0, 0), (0, Z.shape[1] - word.shape[1])))
+    # the reference kernel receives freq as float32 (cos.py:12 signature)
+    f32 = float(np.float32(freq))
+    denom = f32 * (length - 1) if length > 1 else 1.0
+    g = np.pi * np.arange(length) / denom
+    sin_w, cos_w = np.sin(g), np.cos(g)
+    table = coswiss_table(len(word), exponent, total)
+    result = np.zeros((n, length), dtype=np.float64)
+    for row in table:
+        tmp = np.ones((n, length), dtype=np.float64)
+        for k in range(len(word)):
+            if k > 0:
+                tmp = _shift1(tmp)
+            tmp = _pow_product(Z, word[k], tmp)
+            tmp = _mul_pow(tmp, sin_w, row[2 * k + 1])
+            tmp = _mul_pow(tmp, cos_w, row[2 * k + 2])
+            if dropout_indices is not None:
+                tmp[:, dropout_indices[k]] = 0.0
+            tmp = _cumsum(tmp)
+        if total:
+            tmp = _mul_pow(tmp, sin_w, row[2 * len(word) + 1])
+            tmp = _mul_pow(tmp, cos_w, row[2 * len(word) + 2])
+        result += row[0] * tmp
+    return result
+
+
+# ---------------------------------------------------------------------------
 # weighting lookups + coquantiles (reference: iss/weighting.py, cache.py)
 # ---------------------------------------------------------------------------
 

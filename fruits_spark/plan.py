@@ -61,6 +61,30 @@ class ISSSpec:
 
 
 @dataclass(frozen=True)
+class CosWISSSpec:
+    """Cosine-weighted ISS (reference: iss/cos.py:184-351): one stream
+    per (word, freq); drop-in chain element alongside :class:`ISSSpec`."""
+
+    words: tuple[SimpleWord, ...]
+    freqs: tuple[float, ...]
+    exponent: int = 2
+    total: bool = False
+
+    def plan(self):
+        return None
+
+    def n_streams(self) -> int:
+        return len(self.words) * len(self.freqs)
+
+    def stream_labels(self) -> list[str]:
+        return [
+            f"{w.string}:cos(f={f},s={self.exponent})"
+            for w in self.words
+            for f in self.freqs
+        ]
+
+
+@dataclass(frozen=True)
 class Sieve:
     """kind in {max,min,end,cur,avg,std,npi,mpi,xpi,lpi,ppv,cpv}."""
 

@@ -11,7 +11,7 @@ from fruits_spark.engine.executor import (
     plan_is_flat,
 )
 from fruits_spark.kernels import flat as KF
-from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+from fruits_spark.plan import CosWISSSpec, ISSSpec, Prep, Sieve, Slice, FruitPlan
 from fruits_spark.words import W
 
 RNG = np.random.default_rng(11)
@@ -87,6 +87,16 @@ PLANS = {
                           total=True),
               sieves=(Sieve("end"),)),
     )),
+    "coswiss": FruitPlan((
+        Slice(iss=CosWISSSpec((W("[1][1]"), W("[11][1]")), (0.5, 1.0),
+                              exponent=2),
+              sieves=(Sieve("end"), Sieve("max"))),
+    )),
+    "coswiss_total": FruitPlan((
+        Slice(iss=CosWISSSpec((W("[1][1]"),), (0.5,), exponent=1,
+                              total=True),
+              sieves=(Sieve("end"),)),
+    )),
 }
 
 
@@ -98,8 +108,14 @@ def test_flat_matches_bucketed(name, int_domain):
     values, offsets = random_batch(int_domain=int_domain)
     got = compute_features_flat(values, offsets, fplan)
     expect = bucketed_features(values, offsets, fplan)
-    if int_domain and "weighted" not in name and name != "std_full_sieves" \
-            and name != "prep_chain":
+    _assert_match(got, expect, name, int_domain)
+
+
+FLOATY = ("weighted", "std_full_sieves", "prep_chain", "coswiss")
+
+
+def _assert_match(got, expect, name, int_domain):
+    if int_domain and not any(f in name for f in FLOATY):
         np.testing.assert_array_equal(got, expect)
     else:
         np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-12)
@@ -108,17 +124,18 @@ def test_flat_matches_bucketed(name, int_domain):
 @pytest.mark.parametrize("name", list(PLANS))
 @pytest.mark.parametrize("int_domain", [True, False])
 def test_padded_matches_bucketed(name, int_domain):
-    from fruits_spark.engine.executor import compute_features_padded
+    from fruits_spark.engine.executor import (
+        compute_features_padded,
+        plan_has_coswiss,
+    )
 
     fplan = PLANS[name]
+    if plan_has_coswiss(fplan):
+        pytest.skip("padded layout has no coswiss impl (flat handles it)")
     values, offsets = random_batch(int_domain=int_domain)
     got = compute_features_padded(values, offsets, fplan)
     expect = bucketed_features(values, offsets, fplan)
-    if int_domain and "weighted" not in name and name != "std_full_sieves" \
-            and name != "prep_chain":
-        np.testing.assert_array_equal(got, expect)
-    else:
-        np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-12)
+    _assert_match(got, expect, name, int_domain)
 
 
 def test_padded_negative_values_arctic():
