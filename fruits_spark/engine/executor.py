@@ -31,6 +31,24 @@ from ..kernels.segments import flatten_lists
 
 
 def _apply_prep(Z: np.ndarray, p: Pl.Prep) -> np.ndarray:
+    if p.kind == "dim":
+        inner = p.params["prep"]
+        return KP.dim_wrap(
+            Z, lambda sub: _apply_prep(sub, inner), p.params["dims"]
+        )
+    if p.kind == "new":
+        inner = p.params.get("prep")
+        if inner is None:
+            return KP.new_wrap(Z)
+        return KP.new_wrap(Z, lambda sub: _apply_prep(sub, inner))
+    if p.kind == "fun":
+        return KP.fun(Z, p.params["f"])
+    if p.kind == "dil":
+        return KP.dil(Z, **p.params)
+    if p.kind == "pdd":
+        return KP.pdd(Z, **p.params)
+    if p.kind == "mav" and p.params.get("width") == -1:
+        return KP.mav_dims(Z)
     fn = {
         "inc": KP.inc,
         "std": KP.std,

@@ -222,14 +222,37 @@ def coquantile_flat(seg: Seg, x: np.ndarray, q: float,
 # ---------------------------------------------------------------------------
 
 def _pow1(x: np.ndarray, e: int) -> np.ndarray:
-    out = np.ones_like(x)
+    """x**e by repeated multiply/divide (reference op order).  Returns
+    ``x`` itself for e=1 — callers never mutate in place."""
+    e = int(e)
+    if e == 1:
+        return x
+    if e == 0:
+        return np.ones_like(x)
     if e > 0:
-        for _ in range(int(e)):
+        out = x * x
+        for _ in range(e - 2):
             out = out * x
-    elif e < 0:
-        for _ in range(int(-e)):
-            out = out / x
+        return out
+    out = np.ones_like(x)
+    for _ in range(-e):
+        out = out / x
     return out
+
+
+def _mul_letter(tmp: np.ndarray | None, x: np.ndarray, e: int) -> np.ndarray:
+    """tmp * x**e with tmp=None meaning the multiplicative identity."""
+    if tmp is None:
+        return _pow1(x, e)
+    e = int(e)
+    if e > 0:
+        for _ in range(e):
+            tmp = tmp * x
+        return tmp
+    if e < 0:
+        for _ in range(-e):
+            tmp = tmp / x
+    return tmp
 
 
 def iss_flat(
@@ -255,20 +278,21 @@ def iss_flat(
     results: list[np.ndarray] = []
 
     if semiring == "reals":
-        tmp = np.ones_like(x)
         if weighted and total:
+            tmp = None
             for k in range(k_total):
-                tmp = tmp * _pow1(x, exps[k])
+                tmp = _mul_letter(tmp, x, exps[k])
                 tmp = seg.cumsum(tmp * np.exp(lookup * a[k]))
                 if k_total - k <= extended:
                     results.append(tmp * np.exp(-lookup * a[k]))
                 if k < k_total - 1:
                     tmp = seg.shift1(tmp) * np.exp(-lookup * a[k])
         else:
+            tmp = None
             for k in range(k_total):
                 if k > 0:
                     tmp = seg.shift1(tmp)
-                tmp = tmp * _pow1(x, exps[k])
+                tmp = _mul_letter(tmp, x, exps[k])
                 if weighted and k > 0:
                     tmp = tmp * np.exp(-lookup * a[k - 1])
                 if k_total - k <= extended:

@@ -192,6 +192,31 @@ def qtc(
     return np.where(X > q_value, rep, X)
 
 
+# --- wrappers (preparation/wrapper.py) --------------------------------------
+
+def dim_wrap(X: np.ndarray, inner, dims) -> np.ndarray:
+    """Apply ``inner`` to the selected dims only; output = remaining dims
+    followed by the transformed ones (wrapper.py:40-44 — note the
+    reorder)."""
+    dims = np.atleast_1d(np.asarray(dims, dtype=np.int64))
+    transformed = inner(X[:, dims, :])
+    rest = np.delete(X, dims, axis=1)
+    return np.concatenate((rest, transformed), axis=1)
+
+
+def new_wrap(X: np.ndarray, inner=None) -> np.ndarray:
+    """Append ``inner``'s output (or a copy of the input) as new dims
+    (wrapper.py:79-96)."""
+    extra = X if inner is None else inner(X)
+    return np.concatenate((X, extra), axis=1)
+
+
+def fun(X: np.ndarray, f) -> np.ndarray:
+    """Arbitrary user callable on the 3-D batch (transform.py:1018-1048
+    escape hatch)."""
+    return f(X)
+
+
 # --- filters (preparation/filter.py) ---------------------------------------
 
 def dot_filter(X: np.ndarray, n: int, first: int | None = None) -> np.ndarray:

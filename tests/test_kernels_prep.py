@@ -192,3 +192,32 @@ def test_dil_pdd():
     np.testing.assert_allclose(out[0, 0], [1, 1, 0, 0, 1, 1, 1, 0, 1, 1])
     out = P.pdd(X, np.array([0, 5]), 2)
     np.testing.assert_allclose(out[0, 0], [0, 0, 1, 1, 1, 0, 0, 1, 1, 1])
+
+
+def test_dim_wrapper(x1):
+    from fruits_spark.engine.executor import _apply_prep
+    from fruits_spark.plan import Prep
+
+    # INC on dim 1 only; output = [dim0 untouched, dim1 transformed]
+    out = _apply_prep(x1, Prep("dim", {"prep": Prep("inc"), "dims": [1]}))
+    np.testing.assert_allclose(out[:, 0, :], x1[:, 0, :])
+    np.testing.assert_allclose(out[:, 1, :], P.inc(x1)[:, 1, :])
+
+
+def test_new_wrapper(x1):
+    from fruits_spark.engine.executor import _apply_prep
+    from fruits_spark.plan import Prep
+
+    out = _apply_prep(x1, Prep("new"))
+    assert out.shape == (2, 4, 5)
+    np.testing.assert_allclose(out[:, 2:, :], x1)
+    out2 = _apply_prep(x1, Prep("new", {"prep": Prep("inc")}))
+    np.testing.assert_allclose(out2[:, 2:, :], P.inc(x1))
+
+
+def test_fun_escape_hatch(x1):
+    from fruits_spark.engine.executor import _apply_prep
+    from fruits_spark.plan import Prep
+
+    out = _apply_prep(x1, Prep("fun", {"f": lambda Z: Z * 2}))
+    np.testing.assert_allclose(out, x1 * 2)
