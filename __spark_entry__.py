@@ -371,6 +371,43 @@ GROUP BY doc_id
 """
 
 
+def q_iss_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained ISS: streams of ISS([1]) feed ISS([1][1]) — END of the
+    composed stream (integer-exact)."""
+    from fruits_spark.engine.executor import feature_columns
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=(ISSSpec((W("[1]"),)), ISSSpec((W("[1][1]"),))),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id", F.col(fc[0]).cast("long").alias("chain_end")
+    )
+
+
+SQL_ISS_CHAINED = f"""
+WITH {SQL_TOKS}, {SQL_STREAMS},
+lvl2 AS (
+    SELECT doc_id, run1,
+           SUM(run1) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runs
+    FROM streams
+)
+SELECT doc_id,
+       CAST(SUM(run1 * (runs - run1)) AS BIGINT) AS chain_end
+FROM lvl2
+GROUP BY doc_id
+"""
+
+
 def q_iss_coswiss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-weighted ISS (CosWISS): END of word [1][1] at freq 0.5,
     exponent 2, on tokens scaled to [0,1]."""
@@ -982,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iss_sieves": q_iss_sieves,
         "iss_weighted": q_iss_weighted,
         "iss_coswiss": q_iss_coswiss,
+        "iss_chained": q_iss_chained,
         "rollup_tier": q_rollup_tier,
         "rollup_salted": q_rollup_salted,
         "gapfill": q_gapfill,
@@ -1008,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
         "iss_sieves": SQL_ISS_SIEVES,
         "iss_weighted": SQL_ISS_WEIGHTED,
         "iss_coswiss": SQL_ISS_COSWISS,
+        "iss_chained": SQL_ISS_CHAINED,
         "rollup_tier": SQL_ROLLUP,
         "rollup_salted": SQL_ROLLUP,
         "gapfill": SQL_GAPFILL,

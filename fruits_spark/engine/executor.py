@@ -268,13 +268,23 @@ def compute_features_flat(
                 p.kind
             ]
             xp = fn(seg, xp, **p.params)
-        for si, stream in enumerate(
-            _emit_streams_flat(seg, xp, sl.iss_chain(), values)
-        ):
-            for sv in sl.sieves:
+        # streams may arrive in trie order; widths are fixed per stream,
+        # so each one writes at its plan-order column offset
+        sieve_widths = [sv.n_features() for sv in sl.sieves]
+        per_stream = sum(sieve_widths)
+        seen = 0
+        for si, stream in _emit_streams_flat(seg, xp, sl.iss_chain(), values):
+            c = col + si * per_stream
+            for sv, w_ in zip(sl.sieves, sieve_widths):
                 feats = _apply_sieve_flat(seg, stream, sv, values, si)
-                out[:, col:col + feats.shape[1]] = feats
-                col += feats.shape[1]
+                out[:, c:c + w_] = feats
+                c += w_
+            seen += 1
+        col += sl.n_streams() * per_stream
+        if seen != sl.n_streams():
+            raise AssertionError(
+                f"stream accounting: {seen} != {sl.n_streams()}"
+            )
     if col != fplan.n_features():
         raise AssertionError(f"feature accounting: {col} != {fplan.n_features()}")
     return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
@@ -298,40 +308,109 @@ def _lookup_flat(spec: Pl.ISSSpec, seg, xp, x_orig):
 
 
 def _emit_streams_flat(seg, xp: np.ndarray, specs: tuple, x_orig: np.ndarray):
+    """Yield (plan_stream_index, stream) pairs for a chain of specs.
+
+    Indices follow plan label order even though computation may run in
+    trie order (scan-level CSE below)."""
+    n_rest = 1
+    for s in specs[1:]:
+        n_rest *= s.n_streams()
+    for idx, stream in _emit_level_flat(seg, xp, specs[0], x_orig):
+        if len(specs) == 1:
+            yield idx, stream
+        else:
+            for sub_idx, sub in _emit_streams_flat(
+                seg, stream, specs[1:], x_orig
+            ):
+                yield idx * n_rest + sub_idx, sub
+
+
+def _emit_level_flat(seg, xp, spec, x_orig):
     from ..kernels import flat as KF
 
-    spec = specs[0]
     if isinstance(spec, Pl.CosWISSSpec):
+        i = 0
         for w in spec.words:
             for f in spec.freqs:
-                stream = KF.coswiss_flat(
+                yield i, KF.coswiss_flat(
                     seg, xp, w.matrix, f, exponent=spec.exponent,
                     total=spec.total,
                 )
-                if len(specs) == 1:
-                    yield stream
-                else:
-                    yield from _emit_streams_flat(seg, stream, specs[1:], x_orig)
+                i += 1
+        return
+    if spec.weighting is None:
+        yield from _emit_level_flat_cse(seg, xp, spec)
         return
     lookup = _lookup_flat(spec, seg, xp, x_orig)
     pplan = spec.plan()
+    i = 0
     for wi, w in enumerate(spec.words):
         depth = pplan.depth(wi) if pplan is not None else 1
         if depth == 0:
             continue
-        alpha = (
-            np.array(w.alpha, dtype=np.float32)
-            if spec.weighting is not None else None
-        )
+        alpha = np.array(w.alpha, dtype=np.float32)
         streams = KF.iss_flat(
             seg, xp, w.matrix, extended=depth, semiring=spec.semiring,
             alpha=alpha, lookup=lookup, total=spec.total,
         )
         for stream in streams:
-            if len(specs) == 1:
-                yield stream
-            else:
-                yield from _emit_streams_flat(seg, stream, specs[1:], x_orig)
+            yield i, stream
+            i += 1
+
+
+def _emit_level_flat_cse(seg, xp, spec):
+    """Unweighted ISS with scan-level prefix CSE: the word list is a
+    trie; every distinct prefix's scan state is computed ONCE via DFS
+    (bit-identical ops to the per-word path).  This goes beyond the
+    reference's CachePlan, which dedups stream *emission* but re-runs
+    shared prefix scans per word (iss/iss.py:49-65)."""
+    from ..kernels import flat as KF
+
+    # emission index per prefix, in plan label order
+    pplan = spec.plan()
+    emit_idx: dict[tuple, int] = {}
+    i = 0
+    for wi, w in enumerate(spec.words):
+        depth = pplan.depth(wi) if pplan is not None else 1
+        letters = w.letters()
+        k = len(letters)
+        for j in range(k - depth + 1, k + 1):
+            emit_idx[letters[:j]] = i
+            i += 1
+    # trie children (deterministic order of first appearance)
+    children: dict[tuple, list] = {(): []}
+    for w in spec.words:
+        letters = w.letters()
+        for j in range(len(letters)):
+            node, nxt = letters[:j], letters[:j + 1]
+            kids = children.setdefault(node, [])
+            if nxt not in kids:
+                kids.append(nxt)
+            children.setdefault(nxt, [])
+
+    semiring = spec.semiring
+
+    def advance(state, letter):
+        e = letter[0] if letter else 0
+        if semiring == "reals":
+            tmp = seg.shift1(state) if state is not None else None
+            tmp = KF._mul_letter(tmp, xp, e)
+            return seg.cumsum(tmp)
+        if semiring == "arctic":
+            tmp = (state if state is not None else 0.0) + float(e) * xp
+            return seg.runmax(tmp)
+        # bayesian
+        tmp = KF._mul_letter(state, xp, e)
+        return seg.runmax(tmp)
+
+    def dfs(node, state):
+        for child in children[node]:
+            child_state = advance(state, child[-1])
+            if child in emit_idx:
+                yield emit_idx[child], child_state
+            yield from dfs(child, child_state)
+
+    yield from dfs((), None)
 
 
 def _apply_sieve_flat(seg, stream, sv: Pl.Sieve, src: np.ndarray,
