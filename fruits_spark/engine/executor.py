@@ -166,6 +166,22 @@ def _emit_streams_block(Zp: np.ndarray, specs: tuple, Z_orig=None):
                     )
         return
     lookup = _lookup_for(spec, Zp, Z_orig)
+    if getattr(spec, "argmax", False):
+        for w in spec.words:
+            alpha = (
+                np.array(w.alpha, dtype=np.float32)
+                if spec.weighting is not None else None
+            )
+            streams = KI.iss_arctic_argmax(Zp, w.matrix, alpha, lookup)
+            for s in range(streams.shape[1]):
+                stream = streams[:, s, :]
+                if len(specs) == 1:
+                    yield stream
+                else:
+                    yield from _emit_streams_block(
+                        stream[:, np.newaxis, :], specs[1:], Z_orig
+                    )
+        return
     pplan = spec.plan()
     for wi, w in enumerate(spec.words):
         depth = pplan.depth(wi) if pplan is not None else 1
@@ -236,6 +252,8 @@ def plan_is_flat(fplan: Pl.FruitPlan) -> bool:
                     return False
                 continue
             if spec.semiring not in ("reals", "arctic", "bayesian"):
+                return False
+            if spec.argmax:  # index back-translation is bucketed-only
                 return False
             if any(w.matrix.shape[1] > 1 for w in spec.words):
                 return False

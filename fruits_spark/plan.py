@@ -41,15 +41,32 @@ class ISSSpec:
     weighting: str | None = None  # None | "indices" | "l1" | "l2"
     weighting_params: dict[str, Any] = field(default_factory=dict)
     total: bool = False
+    argmax: bool = False  # arctic only: also emit maximizing indices
 
     def plan(self) -> PrefixPlan | None:
+        if self.argmax:
+            return None
         return PrefixPlan(list(self.words)) if self.mode == "extended" else None
 
     def n_streams(self) -> int:
+        if self.argmax:
+            # p value streams + p(p+1)/2 index streams per word
+            return sum(
+                len(w) + len(w) * (len(w) + 1) // 2 for w in self.words
+            )
         p = self.plan()
         return p.n_streams() if p is not None else len(self.words)
 
     def stream_labels(self) -> list[str]:
+        if self.argmax:
+            out = []
+            for w in self.words:
+                p = len(w)
+                for k in range(p):
+                    out.append(f"{w.prefix(k + 1).string}:arctic")
+                    for s in range(1, k + 2):
+                        out.append(f"{w.prefix(k + 1).string}:argmax{s}")
+            return out
         p = self.plan()
         if p is not None:
             labels = p.labels()

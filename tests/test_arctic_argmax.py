@@ -83,3 +83,21 @@ def test_stream_count():
         w = W("[1]" * p)
         out = iss_arctic_argmax(RNG.random((2, 1, 10)), w.matrix)
         assert out.shape[1] == expect
+
+
+def test_argmax_through_plan_layer():
+    from fruits_spark.engine.executor import compute_features_block, plan_is_flat
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+
+    fplan = FruitPlan((
+        Slice(iss=ISSSpec((W("[1][1]"),), semiring="arctic", argmax=True),
+              sieves=(Sieve("end"),)),
+    ))
+    assert fplan.n_features() == 5  # 2 value + 3 index streams x END
+    assert not plan_is_flat(fplan)
+    labels = fplan.feature_labels()
+    assert labels[0].startswith("[1]:arctic")
+    X = RNG.random((4, 1, 15))
+    feats = compute_features_block(X, fplan)
+    raw = iss_arctic_argmax(X, W("[1][1]").matrix)
+    np.testing.assert_allclose(feats, raw[:, :, -1], rtol=1e-12)
