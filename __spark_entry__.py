@@ -371,6 +371,56 @@ GROUP BY doc_id
 """
 
 
+def q_prep_mav_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAV (window-4 moving average) and DOT (every-3rd-point) preps:
+    END of [1] over MAV output (quarter-exact floats) and END of [11]
+    over DOT output (integer-exact)."""
+    from fruits_spark.engine.executor import feature_columns
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("mav", {"width": 4}),),
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(Sieve("end"),),
+            ),
+            Slice(
+                preps=(Prep("dot", {"n": 3}),),
+                iss=ISSSpec((W("[11]"),)),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.col(fc[0]).alias("mav_sum"),  # quarters: exact doubles
+        F.col(fc[1]).cast("long").alias("dot_sq_sum"),
+    )
+
+
+SQL_PREP_MAV_DOT = f"""
+WITH {SQL_TOKS},
+m AS (
+    SELECT doc_id, pos, x,
+           CASE WHEN pos >= 3 THEN
+               CAST(SUM(x) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) / 4
+           ELSE 0.0 END AS mavg
+    FROM toks
+)
+SELECT doc_id,
+       SUM(mavg) AS mav_sum,
+       CAST(SUM(CASE WHEN pos % 3 = 2 THEN x * x ELSE 0 END) AS BIGINT)
+           AS dot_sq_sum
+FROM m
+GROUP BY doc_id
+"""
+
+
 def q_iss_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained ISS: streams of ISS([1]) feed ISS([1][1]) — END of the
     composed stream (integer-exact)."""
@@ -1020,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iss_weighted": q_iss_weighted,
         "iss_coswiss": q_iss_coswiss,
         "iss_chained": q_iss_chained,
+        "prep_mav_dot": q_prep_mav_dot,
         "rollup_tier": q_rollup_tier,
         "rollup_salted": q_rollup_salted,
         "gapfill": q_gapfill,
@@ -1047,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "iss_weighted": SQL_ISS_WEIGHTED,
         "iss_coswiss": SQL_ISS_COSWISS,
         "iss_chained": SQL_ISS_CHAINED,
+        "prep_mav_dot": SQL_PREP_MAV_DOT,
         "rollup_tier": SQL_ROLLUP,
         "rollup_salted": SQL_ROLLUP,
         "gapfill": SQL_GAPFILL,

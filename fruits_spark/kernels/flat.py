@@ -73,16 +73,29 @@ class Seg:
 
     def runmax(self, x: np.ndarray) -> np.ndarray:
         out = x.copy()
+        buf = np.empty_like(out)
         step = 1
         while step < self.max_len:
-            shifted = np.empty_like(out)
-            shifted[step:] = out[:-step]
-            shifted[:step] = -np.inf
-            np.maximum(
-                out, np.where(self.pos >= step, shifted, -np.inf), out=out
-            )
+            buf[step:] = out[:-step]
+            buf[:step] = -np.inf
+            # invalidate lanes that would read across a segment boundary
+            np.copyto(buf, -np.inf, where=self._step_mask(step))
+            np.maximum(out, buf, out=out)
             step <<= 1
         return out
+
+    def _step_mask(self, step: int) -> np.ndarray:
+        """pos < step masks, cached per batch — reused by every runmax
+        doubling pass of every arctic/bayesian scan in the plan."""
+        cache = getattr(self, "_mask_cache", None)
+        if cache is None:
+            cache = {}
+            self._mask_cache = cache
+        m = cache.get(step)
+        if m is None:
+            m = self.pos < step
+            cache[step] = m
+        return m
 
     # --- reductions ----------------------------------------------------
 
