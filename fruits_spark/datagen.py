@@ -49,7 +49,6 @@ def generate_spark(spark, n_docs: int, seed: int = 42, partitions: int = 32, **k
     """Distributed generator: builds the table *on executors* from a range
     — the driver never materializes rows, so it scales to any n_docs.
     """
-    from pyspark.sql import functions as F
     from pyspark.sql.types import (
         ArrayType, IntegerType, StringType, StructField, StructType,
     )

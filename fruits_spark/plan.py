@@ -15,12 +15,10 @@ mirroring how Spark broadcasts small fitted state to executors.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Any, Sequence
 
-import numpy as np
-
-from .words import PrefixPlan, SimpleWord, word_string
+from .words import PrefixPlan, SimpleWord
 
 
 @dataclass(frozen=True)
