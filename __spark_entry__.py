@@ -421,6 +421,122 @@ GROUP BY doc_id
 """
 
 
+def q_prep_nrm_ppv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NRM preparateur (per-series min-max to [0,1]) then PPV(>=0.5) on
+    the normalized series itself (word [1] stream's increments aren't
+    used — PPV applies to the [1] cumsum; we sieve with END too)."""
+    from fruits_spark.engine.executor import feature_columns
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("nrm"),),
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(
+                    Sieve("end"),
+                    Sieve("ppv", {"quantiles": [5.0], "constant": [True]}),
+                ),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.round(F.col(fc[0]), 6).alias("nrm_sum_r6"),
+        F.round(F.col(fc[1]), 6).alias("nrm_ppv5_r6"),
+    )
+
+
+SQL_PREP_NRM_PPV = f"""
+WITH {SQL_TOKS},
+n AS (
+    SELECT doc_id, pos, n_tok,
+           CASE WHEN MAX(x) OVER d = MIN(x) OVER d THEN 0.0
+                ELSE CAST(x - MIN(x) OVER d AS DOUBLE)
+                     / (MAX(x) OVER d - MIN(x) OVER d) END AS xn
+    FROM toks
+    WINDOW d AS (PARTITION BY doc_id)
+),
+r AS (
+    SELECT doc_id, pos, n_tok, xn,
+           SUM(xn) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run1
+    FROM n
+)
+SELECT doc_id,
+       ROUND(MAX(CASE WHEN pos = n_tok - 1 THEN run1 END), 6) AS nrm_sum_r6,
+       ROUND(CAST(SUM(CASE WHEN run1 >= 5.0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(n_tok), 6) AS nrm_ppv5_r6
+FROM r
+GROUP BY doc_id
+"""
+
+
+def q_iss_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arctic argmax: final value of max_(i<=j)(x_i + x_j) plus the
+    maximizing indices (i*, j*) with earliest-tie semantics."""
+    from fruits_spark.engine.executor import feature_columns
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1][1]"),), semiring="arctic", argmax=True),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    # layout: [val1, idx1, val2, idx2_i, idx2_j]
+    return out.select(
+        "doc_id",
+        F.col(fc[2]).cast("long").alias("amax_val"),
+        F.col(fc[3]).cast("long").alias("amax_i"),
+        F.col(fc[4]).cast("long").alias("amax_j"),
+    )
+
+
+SQL_ISS_ARGMAX = f"""
+WITH {SQL_TOKS},
+s AS (
+    SELECT doc_id, pos, x,
+           MAX(x) OVER w AS rmax1,
+           MAX(x) OVER w + x AS comb
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+mx AS (SELECT doc_id, MAX(comb) AS amax_val FROM s GROUP BY doc_id),
+jstar AS (
+    SELECT s.doc_id, MIN(s.pos) AS j
+    FROM s JOIN mx ON s.doc_id = mx.doc_id AND s.comb = mx.amax_val
+    GROUP BY s.doc_id
+),
+istar AS (
+    SELECT s.doc_id, MIN(s.pos) AS i
+    FROM s
+    JOIN jstar ON s.doc_id = jstar.doc_id AND s.pos <= jstar.j
+    JOIN (SELECT s2.doc_id, jstar.j, MAX(s2.x) AS mxx
+          FROM s s2 JOIN jstar ON s2.doc_id = jstar.doc_id
+          WHERE s2.pos <= jstar.j GROUP BY s2.doc_id, jstar.j) pm
+      ON s.doc_id = pm.doc_id
+    WHERE s.x = pm.mxx
+    GROUP BY s.doc_id
+)
+SELECT mx.doc_id,
+       CAST(mx.amax_val AS BIGINT) AS amax_val,
+       CAST(istar.i AS BIGINT) AS amax_i,
+       CAST(jstar.j AS BIGINT) AS amax_j
+FROM mx JOIN jstar ON mx.doc_id = jstar.doc_id
+JOIN istar ON mx.doc_id = istar.doc_id
+"""
+
+
 def q_iss_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained ISS: streams of ISS([1]) feed ISS([1][1]) — END of the
     composed stream (integer-exact)."""
@@ -1071,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iss_coswiss": q_iss_coswiss,
         "iss_chained": q_iss_chained,
         "prep_mav_dot": q_prep_mav_dot,
+        "prep_nrm_ppv": q_prep_nrm_ppv,
+        "iss_argmax": q_iss_argmax,
         "rollup_tier": q_rollup_tier,
         "rollup_salted": q_rollup_salted,
         "gapfill": q_gapfill,
@@ -1099,6 +1217,8 @@ def oracle_sql() -> dict[str, str]:
         "iss_coswiss": SQL_ISS_COSWISS,
         "iss_chained": SQL_ISS_CHAINED,
         "prep_mav_dot": SQL_PREP_MAV_DOT,
+        "prep_nrm_ppv": SQL_PREP_NRM_PPV,
+        "iss_argmax": SQL_ISS_ARGMAX,
         "rollup_tier": SQL_ROLLUP,
         "rollup_salted": SQL_ROLLUP,
         "gapfill": SQL_GAPFILL,

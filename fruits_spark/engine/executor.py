@@ -87,6 +87,9 @@ def _lookup_for(spec: Pl.ISSSpec, Z: np.ndarray, Z_orig: np.ndarray | None = Non
         return KI.l2_lookup(base, **wp)
     if spec.weighting == "plateaus":
         return KI.plateaus_lookup(n, length, **wp)
+    if spec.weighting == "custom":
+        # reference Custom weighting (weighting.py:41-66): user g(X)
+        return wp["fn"](base)
     raise ValueError(spec.weighting)
 
 
@@ -255,6 +258,8 @@ def plan_is_flat(fplan: Pl.FruitPlan) -> bool:
                 return False
             if spec.argmax:  # index back-translation is bucketed-only
                 return False
+            if spec.weighting not in (None, "indices", "l1", "l2"):
+                return False  # plateaus/custom lookups are bucketed-only
             if any(w.matrix.shape[1] > 1 for w in spec.words):
                 return False
     return True

@@ -248,6 +248,12 @@ LETTERS = {
 }
 
 
+def register_letter(name: str, fn) -> None:
+    """User letter registration (the reference's ``@letter`` decorator,
+    letters.py:132-206): ``fn(Z (n,d,l), dim) -> (n, l)``."""
+    LETTERS[name] = fn
+
+
 def iss_generic(
     Z: np.ndarray,
     word: list[list[tuple[str, int]]],

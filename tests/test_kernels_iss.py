@@ -246,3 +246,38 @@ def test_coquantile_golden():
     X = np.array([[[-4.0, 0.8, 0.0, 5.0, -3.0]], [[2.0, 1.0, 0.0, 0.0, -7.0]]])
     np.testing.assert_array_equal(K.coquantile(X, 0.2, "L2"), [1, 4])
     np.testing.assert_array_equal(K.coquantile(X, 0.5, "L2"), [4, 4])
+
+
+def test_custom_weighting_and_letter_registry():
+    """Custom weighting g(X) (weighting.py:41-66) and @letter registration
+    (letters.py:132-206) through the engine surfaces."""
+    from fruits_spark.engine.executor import compute_features_block, plan_is_flat
+    from fruits_spark.kernels.iss import LETTERS, iss_generic, register_letter
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+
+    X = RNG.random((5, 1, 20))
+    gfn = lambda Z: np.broadcast_to(
+        np.arange(Z.shape[2], dtype=np.float64) ** 2 / Z.shape[2] ** 2,
+        (Z.shape[0], Z.shape[2]),
+    ).copy()
+    fplan = FruitPlan((
+        Slice(iss=ISSSpec((W("[1][1]"),), weighting="custom",
+                          weighting_params={"fn": gfn}),
+              sieves=(Sieve("end"),)),
+    ))
+    assert not plan_is_flat(fplan)
+    feats = compute_features_block(X, fplan)
+    # manual: same kernel with the custom lookup
+    lookup = gfn(X)
+    expect = K.iss(X, W("[1][1]").matrix, extended=1,
+                   alpha=np.ones(2), lookup=lookup, total=False)[:, 0, -1]
+    np.testing.assert_allclose(feats[:, 0], expect, rtol=1e-12)
+
+    register_letter("SQ", lambda Z, d: Z[:, d, :] ** 2)
+    try:
+        out = iss_generic(X, [[("SQ", 0)]], 1, "reals")[:, 0, :]
+        np.testing.assert_allclose(
+            out, np.cumsum(X[:, 0, :] ** 2, axis=1), rtol=1e-12
+        )
+    finally:
+        LETTERS.pop("SQ", None)
