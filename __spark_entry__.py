@@ -1136,6 +1136,398 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# round-1 widening: bayesian semiring, sieve wrappers, CPV/CUR, codec
+# roundtrip, CTS/QTC preps, LSH near-dup, ANN top-k, forward-fill
+# ---------------------------------------------------------------------------
+
+def q_iss_bayesian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian semiring (max-times, semiring.py:466-601): END of
+    [1][1] and [11][1].  Indices are NON-strict (i1<=i2 — the reference
+    kernel has no shift between levels), so the oracle is
+    MAX_j(runmax(x^e1)_j * x_j^e2)."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec(
+                    (W("[1][1]"), W("[11][1]")), semiring="bayesian"
+                ),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.col(fc[0]).cast("long").alias("bay_1_1"),
+        F.col(fc[1]).cast("long").alias("bay_11_1"),
+    )
+
+
+SQL_ISS_BAYESIAN = f"""
+WITH {SQL_TOKS},
+rm AS (
+    SELECT doc_id, pos, x,
+           MAX(x) OVER w AS rm1,
+           MAX(x * x) OVER w AS rm2
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id,
+       CAST(MAX(rm1 * x) AS BIGINT) AS bay_1_1,
+       CAST(MAX(rm2 * x) AS BIGINT) AS bay_11_1
+FROM rm
+GROUP BY doc_id
+"""
+
+
+def q_sieve_wrappers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INC / INT sieve wrappers (sieving/wrapper.py:9-104): MAX on the
+    1-fold increments (pre=1) and END on the cumulative sum (pre=-1) of
+    the [1] and [11] ISS streams."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1]"), W("[11]"))),
+                sieves=(
+                    Sieve("max", {"pre": 1}),
+                    Sieve("end", {"pre": -1}),
+                ),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.col(fc[0]).cast("long").alias("wrap_max_1"),
+        F.col(fc[1]).cast("long").alias("wrap_int_1"),
+        F.col(fc[2]).cast("long").alias("wrap_max_11"),
+        F.col(fc[3]).cast("long").alias("wrap_int_11"),
+    )
+
+
+# increments of run1 are x (zero-padded at pos 0); cumsum of a run
+# stream telescopes to SUM of the running values
+SQL_SIEVE_WRAPPERS = f"""
+WITH {SQL_TOKS}, {SQL_STREAMS}
+SELECT doc_id,
+       CAST(MAX(CASE WHEN pos > 0 THEN x ELSE 0 END) AS BIGINT)
+           AS wrap_max_1,
+       CAST(SUM(run1) AS BIGINT) AS wrap_int_1,
+       CAST(MAX(CASE WHEN pos > 0 THEN x * x ELSE 0 END) AS BIGINT)
+           AS wrap_max_11,
+       CAST(SUM(run2) AS BIGINT) AS wrap_int_11
+FROM streams
+GROUP BY doc_id
+"""
+
+
+def q_sieve_cpv_cur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPV (connected components above a constant threshold, on the
+    pre=1 increments of the [1] stream = the raw tokens zero-padded at
+    pos 0) and CUR (sum of squared 2nd-order increments) sieves."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(
+                    Sieve("cpv", {"quantiles": [50.0], "pre": 1}),
+                    Sieve("cur"),
+                ),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.round(F.col(fc[0]), 6).alias("cpv_r6"),
+        F.col(fc[1]).cast("long").alias("cur_sum"),
+    )
+
+
+SQL_SIEVE_CPV_CUR = f"""
+WITH {SQL_TOKS},
+d AS (
+    SELECT doc_id, n_tok, pos,
+           CASE WHEN pos = 0 THEN 0 ELSE x END AS dd1
+    FROM toks
+),
+e AS (
+    SELECT doc_id, n_tok,
+           CASE WHEN dd1 >= 50 THEN 1 ELSE 0 END AS ind,
+           COALESCE(CASE WHEN LAG(dd1) OVER w >= 50 THEN 1 ELSE 0 END, 1)
+               AS prev_ind,
+           COALESCE(dd1 - LAG(dd1) OVER w, 0) AS d2
+    FROM d
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id,
+       ROUND(2.0 * SUM(CASE WHEN ind = 1 AND prev_ind = 0 THEN 1 ELSE 0 END)
+             / (n_tok + n_tok % 2), 6) AS cpv_r6,
+       CAST(SUM(d2 * d2) AS BIGINT) AS cur_sum
+FROM e
+GROUP BY doc_id, n_tok
+"""
+
+
+def q_prep_cts_qtc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTS (constant time shift, transform.py:910-958) then QTC
+    (quantile/bound clip, transform.py:961-1015) preparateurs, END of
+    the [1] run over the prepared series."""
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("cts", {"s": 2}), Prep("qtc", {"q_value": 75.0})),
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id", F.col(fc[0]).cast("long").alias("cts_qtc_end")
+    )
+
+
+SQL_PREP_CTS_QTC = f"""
+WITH {SQL_TOKS},
+sh AS (
+    SELECT doc_id,
+           COALESCE(LEAD(x, 2) OVER w,
+                    LAST_VALUE(x) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)) AS y
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, CAST(SUM(LEAST(y, 75)) AS BIGINT) AS cts_qtc_end
+FROM sh
+GROUP BY doc_id
+"""
+
+
+def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla XOR (floats) and delta-of-delta (ints) codec roundtrip:
+    encode each doc's [1] run stream / raw tokens, decode, and emit the
+    decoded sums — the oracle recomputes the sums from the raw tokens,
+    so a single flipped bit anywhere in either codec fails the match."""
+    import pandas as pd
+    from fruits_spark.kernels.codec import (
+        dod_decode, dod_encode, gorilla_decode, gorilla_encode,
+    )
+
+    toks = token_table(spark, sf_dir)
+    schema = "doc_id long, gorilla_sum long, dod_sum long"
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            g, d = [], []
+            for t in pdf["tokens"]:
+                x = np.asarray(t, dtype=np.float64)
+                run1 = np.cumsum(x)
+                dec = gorilla_decode(gorilla_encode(run1), len(run1))
+                g.append(int(dec.sum()))
+                ti = np.asarray(t, dtype=np.int64)
+                ddec = dod_decode(dod_encode(ti), len(ti))
+                d.append(int(ddec.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "gorilla_sum": g,
+                    "dod_sum": d,
+                }
+            )
+
+    return toks.mapInPandas(run, schema)
+
+
+SQL_CODEC_ROUNDTRIP = f"""
+WITH {SQL_TOKS}, {SQL_STREAMS}
+SELECT doc_id,
+       CAST(SUM(run1) AS BIGINT) AS gorilla_sum,
+       CAST(SUM(x) AS BIGINT) AS dod_sum
+FROM streams
+GROUP BY doc_id
+"""
+
+
+def _lsh_planes(dim: int = 64, bits: int = 6):
+    """Deterministic ±1 hyperplanes shared by the Spark query and the
+    DuckDB oracle (sign of an integer dot product is exact on both)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.choice(np.array([-1.0, 1.0]), size=(bits, dim))
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH hyperplane blocking
+    (the 100 TB scale path: bucket-join instead of N^2 cross join) +
+    exact quantized-int cosine verify within bucket."""
+    from fruits_spark.pipeline import embedding_near_dups
+
+    return embedding_near_dups(
+        _read(spark, sf_dir, "embeddings"), _lsh_planes(), threshold=0.4
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine_r6",
+    )
+
+
+def _sql_dedup_embed() -> str:
+    H = _lsh_planes()
+    bucket_terms = []
+    for b in range(H.shape[0]):
+        lit = "[" + ",".join(str(int(c)) for c in H[b]) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(qvec, {lit}) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS qvec
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, qvec,
+           CAST(list_dot_product(qvec, qvec) AS BIGINT) AS qnorm,
+           ({bucket}) AS bucket
+    FROM q
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_dot_product(a.qvec, b.qvec) AS BIGINT) AS dot,
+           a.qnorm AS na, b.qnorm AS nb
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b,
+       ROUND(dot / sqrt(CAST(na * nb AS DOUBLE)), 6) AS cosine_r6
+FROM pairs
+WHERE dot / sqrt(CAST(na * nb AS DOUBLE)) > 0.4
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query (window rank over broadcast
+    brute-force scores — the ANN baseline; q_dedup_embed is the
+    LSH-bucketed scale path)."""
+    from fruits_spark.pipeline import cosine_topk
+
+    return cosine_topk(
+        _read(spark, sf_dir, "embeddings"), n_queries=5, k=10
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("cand_id").cast("long").alias("cand_id"),
+        "cosine_r6",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS qvec
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, qvec,
+           CAST(list_dot_product(qvec, qvec) AS BIGINT) AS qnorm
+    FROM q
+),
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           ROUND(CAST(list_dot_product(a.qvec, b.qvec) AS BIGINT)
+                 / sqrt(CAST(a.qnorm * b.qnorm AS DOUBLE)), 6) AS cosine_r6
+    FROM n a, n b
+    WHERE a.vec_id < 5 AND a.vec_id != b.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(cand_id AS BIGINT) AS cand_id,
+       cosine_r6,
+       CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_r6 DESC, cand_id) AS rn
+    FROM scored
+)
+WHERE rn <= 10
+"""
+
+
+def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (nan repair, reference corbeille data.py:126-147 as
+    a window analytic): null out every 5th event's value, fill with the
+    last non-null per user ordered by time."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("v", v)
+        .withColumn(
+            "filled",
+            F.round(
+                F.coalesce(
+                    F.last("v", ignorenulls=True).over(w), F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+        .select(F.col("event_id").cast("long").alias("event_id"), "filled")
+    )
+
+
+SQL_FFILL = """
+WITH e AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+    FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       ROUND(COALESCE(LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6)
+           AS filled
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1203,6 +1595,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "multimodal_stub": q_multimodal_stub,
+        "iss_bayesian": q_iss_bayesian,
+        "sieve_wrappers": q_sieve_wrappers,
+        "sieve_cpv_cur": q_sieve_cpv_cur,
+        "prep_cts_qtc": q_prep_cts_qtc,
+        "codec_roundtrip": q_codec_roundtrip,
+        "dedup_embed": q_dedup_embed,
+        "ann_topk": q_ann_topk,
+        "ffill": q_ffill,
     }
 
 
@@ -1232,4 +1632,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "fingerprint": SQL_FINGERPRINT,
         "multimodal_stub": SQL_MULTIMODAL,
+        "iss_bayesian": SQL_ISS_BAYESIAN,
+        "sieve_wrappers": SQL_SIEVE_WRAPPERS,
+        "sieve_cpv_cur": SQL_SIEVE_CPV_CUR,
+        "prep_cts_qtc": SQL_PREP_CTS_QTC,
+        "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
+        "dedup_embed": _sql_dedup_embed(),
+        "ann_topk": SQL_ANN_TOPK,
+        "ffill": SQL_FFILL,
     }

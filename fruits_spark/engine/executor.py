@@ -119,6 +119,11 @@ def _apply_sieve(stream: np.ndarray, sv: Pl.Sieve, Z_src: np.ndarray,
     """stream (n, l) -> features (n, k).  ``Z_src`` is the slice's
     original input batch — coquantile cuts are computed on it."""
     p = sv.params
+    pre = p.get("pre", 0)
+    if pre:
+        # INC / INT sieve wrappers (reference sieving/wrapper.py:9-104):
+        # pre>0 = evaluate on |pre|-fold increments, pre<0 = on cumsums
+        stream = KS._pre_inc(stream, pre)
     if sv.kind in ("ppv", "cpv"):
         qs = _ppv_quantiles(sv, stream_idx)
         fn = KS.sieve_ppv if sv.kind == "ppv" else KS.sieve_cpv
@@ -263,6 +268,12 @@ def plan_is_flat(fplan: Pl.FruitPlan) -> bool:
             if any(w.matrix.shape[1] > 1 for w in spec.words):
                 return False
     return True
+
+
+def plan_has_pre(fplan: Pl.FruitPlan) -> bool:
+    return any(
+        sv.params.get("pre") for sl in fplan.slices for sv in sl.sieves
+    )
 
 
 def plan_has_coswiss(fplan: Pl.FruitPlan) -> bool:
@@ -441,6 +452,12 @@ def _apply_sieve_flat(seg, stream, sv: Pl.Sieve, src: np.ndarray,
     from ..kernels import flat as KF
 
     p = sv.params
+    pre = p.get("pre", 0)
+    if pre > 0:
+        stream = KF.inc_flat(seg, stream, 1, pre)
+    elif pre < 0:
+        for _ in range(-pre):
+            stream = seg.cumsum(stream)
     if sv.kind in ("ppv", "cpv"):
         qs = _ppv_quantiles(sv, stream_idx)
         fn = KF.sieve_ppv_flat if sv.kind == "ppv" else KF.sieve_cpv_flat
@@ -569,6 +586,10 @@ def _apply_sieve_padded(ctx, stream, sv: Pl.Sieve, src, tail_const: bool,
     from ..kernels import padded as KP2
 
     p = sv.params
+    if p.get("pre"):
+        # plans with sieve wrappers are routed to the flat/bucketed
+        # paths by extract_features (plan_has_pre)
+        raise ValueError("pre (INC/INT wrapper) unsupported in padded path")
     if sv.kind in ("ppv", "cpv"):
         qs = _ppv_quantiles(sv, stream_idx)
         if sv.kind == "ppv":
@@ -634,7 +655,10 @@ def extract_features(
     # flat segmented is the default hot path (measured ~1.3x faster than
     # band-padded: padding costs ~1.33x volume + per-band dispatch);
     # SPARK_GRAFT_EXEC=padded selects the band-padded alternative
-    use_padded = os.environ.get("SPARK_GRAFT_EXEC", "flat") == "padded"
+    use_padded = (
+        os.environ.get("SPARK_GRAFT_EXEC", "flat") == "padded"
+        and not plan_has_pre(fplan)
+    )
 
     def run_multivariate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

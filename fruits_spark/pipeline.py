@@ -285,6 +285,52 @@ def ann_lsh_buckets(
     return emb.select(F.col(id_col), bucket.alias("lsh_bucket"))
 
 
+def embedding_near_dups(
+    emb: DataFrame,
+    hyperplanes,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: LSH hyperplane
+    bucketing blocks candidates (a shuffle on ``lsh_bucket`` replaces the
+    O(N^2) cross join), then the exact quantized-int cosine verifies each
+    same-bucket pair.  With b hyperplane bits the candidate set shrinks
+    ~2^b-fold; recall is tuned by b (and by OR-ing several bucket tables,
+    which is this same query unioned over independent plane draws)."""
+    q = quantize_embeddings(emb)
+    buckets = ann_lsh_buckets(q, hyperplanes, id_col=id_col, col="qvec")
+    side = q.join(buckets, id_col).select(
+        F.col(id_col), "qvec", "qnorm", "lsh_bucket"
+    )
+    a = side.select(
+        F.col(id_col).alias("id_a"),
+        F.col("qvec").alias("qvec_a"),
+        F.col("qnorm").alias("qnorm_a"),
+        "lsh_bucket",
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"),
+        F.col("qvec").alias("qvec_b"),
+        F.col("qnorm").alias("qnorm_b"),
+        "lsh_bucket",
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qvec_a, qvec_b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(b, "lsh_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / F.sqrt((F.col("qnorm_a") * F.col("qnorm_b")).cast("double")),
+        )
+        .where(F.col("cosine") > threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r6"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
