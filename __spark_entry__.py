@@ -1527,6 +1527,254 @@ FROM e
 """
 
 
+def q_sieve_npi_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The increment-sieve family NPI/MPI/XPI/LPI (increment.py:101-239)
+    with a constant band 10 < d <= 60 on the [1] stream's increments
+    (= the raw tokens, zero-padded at pos 0)."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    band = {"q_values": [10.0, 60.0]}
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(
+                    Sieve("npi", dict(band)),
+                    Sieve("mpi", dict(band)),
+                    Sieve("xpi", dict(band)),
+                    Sieve("lpi", dict(band)),
+                ),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.col(fc[0]).cast("long").alias("npi"),
+        F.round(F.col(fc[1]), 6).alias("mpi_r6"),
+        F.round(F.col(fc[2]), 6).alias("xpi_r6"),
+        F.col(fc[3]).cast("long").alias("lpi"),
+    )
+
+
+SQL_SIEVE_NPI_FAMILY = f"""
+WITH {SQL_TOKS},
+d AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos = 0 THEN 0 ELSE x END AS dd,
+           CASE WHEN pos > 0 AND x > 10 AND x <= 60 THEN 1 ELSE 0 END AS m
+    FROM toks
+),
+runs AS (
+    SELECT doc_id, COUNT(*) AS run_len
+    FROM (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM d WHERE m = 1
+    )
+    GROUP BY doc_id, grp
+)
+SELECT d.doc_id,
+       CAST(SUM(m) AS BIGINT) AS npi,
+       ROUND(COALESCE(SUM(CASE WHEN m = 1 THEN dd END) * 1.0
+                      / NULLIF(SUM(m), 0), 0.0), 6) AS mpi_r6,
+       ROUND(COALESCE(SUM(CASE WHEN m = 1 THEN pos END) * 1.0
+                      / NULLIF(SUM(m), 0), 0.0), 6) AS xpi_r6,
+       CAST(COALESCE(MAX(r.max_run), 0) AS BIGINT) AS lpi
+FROM d
+LEFT JOIN (SELECT doc_id, MAX(run_len) AS max_run FROM runs GROUP BY doc_id)
+    r ON d.doc_id = r.doc_id
+GROUP BY d.doc_id
+"""
+
+
+def q_ppv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPV in plain and segments mode (implicit.py:114-129): proportion
+    of running values >= q, and within the adjacent band [20, 80)."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(
+                    Sieve("ppv", {"quantiles": [100.0, 1000.0]}),
+                    Sieve(
+                        "ppv",
+                        {"quantiles": [20.0, 80.0], "segments": True},
+                    ),
+                ),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.round(F.col(fc[0]), 6).alias("ppv100_r6"),
+        F.round(F.col(fc[1]), 6).alias("ppv1000_r6"),
+        F.round(F.col(fc[2]), 6).alias("ppvseg_r6"),
+    )
+
+
+SQL_PPV_SEGMENTS = f"""
+WITH {SQL_TOKS}, {SQL_STREAMS}
+SELECT doc_id,
+       ROUND(SUM(CASE WHEN run1 >= 100 THEN 1 ELSE 0 END) * 1.0 / n_tok, 6)
+           AS ppv100_r6,
+       ROUND(SUM(CASE WHEN run1 >= 1000 THEN 1 ELSE 0 END) * 1.0 / n_tok, 6)
+           AS ppv1000_r6,
+       ROUND(SUM(CASE WHEN run1 >= 20 AND run1 < 80 THEN 1 ELSE 0 END)
+             * 1.0 / n_tok, 6) AS ppvseg_r6
+FROM streams
+GROUP BY doc_id, n_tok
+"""
+
+
+def q_prep_win(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIN preparateur (coquantile window, filter.py:71-108): keep only
+    [coquantile(.25)-1, coquantile(.75)) of cumulative L2 increment
+    mass, zero outside; END of the [1] run over the windowed series."""
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("win", {"start": 0.25, "end": 0.75}),),
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id", F.col(fc[0]).cast("long").alias("win_end")
+    )
+
+
+SQL_PREP_WIN = f"""
+WITH {SQL_TOKS}, {SQL_STREAMS},
+mass AS (
+    SELECT doc_id, pos, x,
+           SUM(d1 * d1) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l2run,
+           SUM(d1 * d1) OVER (PARTITION BY doc_id) AS l2tot
+    FROM streams
+),
+cq AS (
+    SELECT doc_id,
+           SUM(CASE WHEN l2run <= 0.25 * l2tot THEN 1 ELSE 0 END) AS cut_s,
+           SUM(CASE WHEN l2run <= 0.75 * l2tot THEN 1 ELSE 0 END) AS cut_e
+    FROM mass
+    GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(SUM(CASE WHEN m.pos >= cq.cut_s - 1 AND m.pos < cq.cut_e
+                THEN m.x ELSE 0 END) AS BIGINT) AS win_end
+FROM mass m JOIN cq ON m.doc_id = cq.doc_id
+GROUP BY m.doc_id
+"""
+
+
+def q_prep_lag_iss12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG lead-lag embedding (transform.py:277-298) + the 2-dim word
+    [12]: END = sum over lead-lag steps of lead*lag = sum(x_t^2) +
+    sum(x_(t+1)*x_t) — the classic lead-lag signature term."""
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("lag"),),
+                iss=ISSSpec((W("[12]"),)),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id", F.col(fc[0]).cast("long").alias("leadlag_end")
+    )
+
+
+SQL_PREP_LAG = f"""
+WITH {SQL_TOKS},
+ll AS (
+    SELECT doc_id, x,
+           COALESCE(LAG(x) OVER (PARTITION BY doc_id ORDER BY pos), 0)
+               AS xprev
+    FROM toks
+)
+SELECT doc_id,
+       CAST(SUM(x * x) + SUM(x * xprev) AS BIGINT) AS leadlag_end
+FROM ll
+GROUP BY doc_id
+"""
+
+
+def q_sieve_avg_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's AVG bug (segment.py:309: AVG._transform calls
+    CUR._backend) reproduced behind ``faithful``: faithful=True returns
+    curvature, faithful=False the actual mean."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(
+                    Sieve("avg", {"faithful": True}),
+                    Sieve("avg", {"faithful": False}),
+                ),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.col(fc[0]).cast("long").alias("avg_quirk_cur"),
+        F.round(F.col(fc[1]), 6).alias("avg_true_r6"),
+    )
+
+
+SQL_SIEVE_AVG_QUIRK = f"""
+WITH {SQL_TOKS},
+d AS (
+    SELECT doc_id, n_tok, pos,
+           CASE WHEN pos = 0 THEN 0 ELSE x END AS dd1,
+           SUM(x) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run1
+    FROM toks
+),
+e AS (
+    SELECT doc_id, n_tok, run1,
+           COALESCE(dd1 - LAG(dd1) OVER (PARTITION BY doc_id ORDER BY pos),
+                    0) AS d2
+    FROM d
+)
+SELECT doc_id,
+       CAST(SUM(d2 * d2) AS BIGINT) AS avg_quirk_cur,
+       ROUND(SUM(run1) * 1.0 / n_tok, 6) AS avg_true_r6
+FROM e
+GROUP BY doc_id, n_tok
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1603,6 +1851,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed": q_dedup_embed,
         "ann_topk": q_ann_topk,
         "ffill": q_ffill,
+        "sieve_npi_family": q_sieve_npi_family,
+        "ppv_segments": q_ppv_segments,
+        "prep_win": q_prep_win,
+        "prep_lag_iss12": q_prep_lag_iss12,
+        "sieve_avg_quirk": q_sieve_avg_quirk,
     }
 
 
@@ -1640,4 +1893,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embed": _sql_dedup_embed(),
         "ann_topk": SQL_ANN_TOPK,
         "ffill": SQL_FFILL,
+        "sieve_npi_family": SQL_SIEVE_NPI_FAMILY,
+        "ppv_segments": SQL_PPV_SEGMENTS,
+        "prep_win": SQL_PREP_WIN,
+        "prep_lag_iss12": SQL_PREP_LAG,
+        "sieve_avg_quirk": SQL_SIEVE_AVG_QUIRK,
     }
