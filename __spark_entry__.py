@@ -1775,6 +1775,72 @@ GROUP BY doc_id, n_tok
 """
 
 
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest (foreachBatch + availableNow): the
+    token table arrives as parquet files, each micro-batch is feature-
+    extracted and pre-aggregated into partial cells, and the compacted
+    tier must equal the batch rollup — which the DuckDB oracle computes
+    directly from the derived tokens."""
+    import os
+    import tempfile
+
+    from fruits_spark import streaming as ST
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1]"), W("[11]"))),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    base = tempfile.mkdtemp(prefix="stream_rollup_")
+    inp = os.path.join(base, "in")
+    token_table(spark, sf_dir).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    q = ST.start_stream_rollup(
+        spark, inp, base, fplan, n_buckets=8,
+        bucket_expr=(F.col("doc_id") % 8).cast("int"),
+        schema="doc_id long, tokens array<int>, n_tok int, source string",
+    )
+    q.awaitTermination(300)
+    tier = ST.compact_tier(spark, base, fc)
+    return tier.select(
+        "source",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sum_tok").cast("long").alias("sum_tok"),
+        F.col(f"sum_{fc[0]}").cast("long").alias("sum_end_1"),
+        F.col(f"max_{fc[1]}").cast("long").alias("max_end_11"),
+    )
+
+
+SQL_STREAM_ROLLUP = f"""
+WITH {SQL_TOKS},
+per_doc AS (
+    SELECT doc_id, source,
+           MAX(n_tok) AS n_tok,
+           SUM(x) AS end_1,
+           SUM(x * x) AS end_11
+    FROM toks
+    GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(doc_id % 8 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(end_1) AS BIGINT) AS sum_end_1,
+       CAST(MAX(end_11) AS BIGINT) AS max_end_11
+FROM per_doc
+GROUP BY source, doc_id % 8
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1856,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_win": q_prep_win,
         "prep_lag_iss12": q_prep_lag_iss12,
         "sieve_avg_quirk": q_sieve_avg_quirk,
+        "stream_rollup": q_stream_rollup,
     }
 
 
@@ -1898,4 +1965,5 @@ def oracle_sql() -> dict[str, str]:
         "prep_win": SQL_PREP_WIN,
         "prep_lag_iss12": SQL_PREP_LAG,
         "sieve_avg_quirk": SQL_SIEVE_AVG_QUIRK,
+        "stream_rollup": SQL_STREAM_ROLLUP,
     }

@@ -29,9 +29,14 @@ TOKEN_SCHEMA = (
 )
 
 
-def partial_cells(feats: DataFrame, n_buckets: int, fcols: list[str]) -> DataFrame:
+def partial_cells(
+    feats: DataFrame, n_buckets: int, fcols: list[str], bucket_expr=None
+) -> DataFrame:
     """Per-batch partial aggregate cells (same layout as tier cells)."""
-    return RU.rollup_tier(feats, RU.Tier("stream", 1), n_buckets, fcols)
+    return RU.rollup_tier(
+        feats, RU.Tier("stream", 1), n_buckets, fcols,
+        bucket_expr=bucket_expr,
+    )
 
 
 def start_stream_rollup(
@@ -42,6 +47,8 @@ def start_stream_rollup(
     n_buckets: int = 64,
     checkpoint: str | None = None,
     trigger_available_now: bool = True,
+    bucket_expr=None,
+    schema: str = TOKEN_SCHEMA,
 ):
     """Start (and return) the streaming query: new parquet files under
     ``input_path`` are rolled into ``{output_base}/partials``."""
@@ -52,14 +59,14 @@ def start_stream_rollup(
         if batch_df.isEmpty():
             return
         feats = extract_features(batch_df, fplan)
-        cells = partial_cells(feats, n_buckets, fcols)
+        cells = partial_cells(feats, n_buckets, fcols, bucket_expr)
         # idempotent on replay: one directory per batch id, overwritten
         cells.withColumn("_batch", F.lit(batch_id)).write.mode(
             "overwrite"
         ).parquet(os.path.join(partials_path, f"batch={batch_id}"))
 
     reader = (
-        spark.readStream.schema(TOKEN_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_path)
     )
