@@ -1841,6 +1841,75 @@ GROUP BY source, doc_id % 8
 """
 
 
+def q_iss_weighted_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-mass-weighted ISS (weighting.py:163-210): END of [1][1] with
+    g = minmax(cumsum((dx)^2)) * 1.0 — the exponential penalty follows
+    accumulated quadratic variation instead of the index."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import extract_features, feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec(
+                    (W("[1][1]"),),
+                    weighting="l2",
+                    weighting_params={"scale": 1.0},
+                ),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    toks = token_table(spark, sf_dir)
+    out = extract_features(
+        toks, fplan, keep=("doc_id", "source", "n_tok"), cast_scale=0.01
+    )
+    return out.select(
+        "doc_id", F.round(F.col(fc[0]), 6).alias("w2end_r6")
+    )
+
+
+# xs = x * 0.01 (same op as the engine's cast_scale multiply, NOT /100);
+# g = L2 cumsum min-max-normalized per doc: min = first entry = 0
+SQL_ISS_WEIGHTED_L2 = f"""
+WITH {SQL_TOKS},
+sc AS (
+    SELECT doc_id, pos, x * 0.01 AS xs
+    FROM toks
+),
+dm AS (
+    SELECT doc_id, pos, xs,
+           COALESCE(xs - LAG(xs) OVER (PARTITION BY doc_id ORDER BY pos),
+                    0.0) AS dx
+    FROM sc
+),
+mass AS (
+    SELECT doc_id, pos, xs,
+           SUM(dx * dx) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+           SUM(dx * dx) OVER (PARTITION BY doc_id) AS stot
+    FROM dm
+),
+g AS (
+    SELECT doc_id, pos, xs,
+           CASE WHEN stot = 0 THEN 0.0 ELSE s / stot END AS gi
+    FROM mass
+),
+lvl1 AS (
+    SELECT doc_id, pos, xs, gi,
+           SUM(xs * EXP(gi)) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runw
+    FROM g
+)
+SELECT doc_id,
+       ROUND(SUM(((runw - xs * EXP(gi)) * xs) * EXP(-gi)), 6) AS w2end_r6
+FROM lvl1
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1923,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_lag_iss12": q_prep_lag_iss12,
         "sieve_avg_quirk": q_sieve_avg_quirk,
         "stream_rollup": q_stream_rollup,
+        "iss_weighted_l2": q_iss_weighted_l2,
     }
 
 
@@ -1966,4 +2036,5 @@ def oracle_sql() -> dict[str, str]:
         "prep_lag_iss12": SQL_PREP_LAG,
         "sieve_avg_quirk": SQL_SIEVE_AVG_QUIRK,
         "stream_rollup": SQL_STREAM_ROLLUP,
+        "iss_weighted_l2": SQL_ISS_WEIGHTED_L2,
     }
