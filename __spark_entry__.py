@@ -1910,6 +1910,137 @@ GROUP BY doc_id
 """
 
 
+def q_prep_rin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIN preparateur with an explicit convolution kernel [2, -1]
+    (transform.py:391-568): y_t = x_t - 2 x_(t-1) + x_(t-2), first
+    width entries zeroed; END of [1] over y."""
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+    import numpy as np
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("rin", {"kernel": np.array([2.0, -1.0])}),),
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id", F.col(fc[0]).cast("long").alias("rin_end")
+    )
+
+
+SQL_PREP_RIN = f"""
+WITH {SQL_TOKS},
+y AS (
+    SELECT doc_id,
+           CASE WHEN pos < 2 THEN 0
+                ELSE x - 2 * LAG(x, 1) OVER w + LAG(x, 2) OVER w
+           END AS yv
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, CAST(SUM(yv) AS BIGINT) AS rin_end
+FROM y
+GROUP BY doc_id
+"""
+
+
+def q_prep_ffn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFN preparateur with explicit integer weights (2-layer ReLU MLP
+    per time step, transform.py:312-388; center=False keeps the algebra
+    integer-exact): h = relu([2,-3]x + [1,5]), o = [1,2]h - 4."""
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+    import numpy as np
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(
+                    Prep(
+                        "ffn",
+                        {
+                            "w1": np.array([[2.0], [-3.0]]),
+                            "b1": np.array([1.0, 5.0]),
+                            "w2": np.array([[1.0, 2.0]]),
+                            "b2": np.array([-4.0]),
+                            "center": False,
+                        },
+                    ),
+                ),
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id", F.col(fc[0]).cast("long").alias("ffn_end")
+    )
+
+
+SQL_PREP_FFN = f"""
+WITH {SQL_TOKS}
+SELECT doc_id,
+       CAST(SUM(GREATEST(2 * x + 1, 0) + 2 * GREATEST(-3 * x + 5, 0) - 4)
+            AS BIGINT) AS ffn_end
+FROM toks
+GROUP BY doc_id
+"""
+
+
+def q_prep_dil_pdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIL (zero slice [2,5), filter.py:11-62) composed with PDD (zero
+    strip [8,10), filter.py:209-258), both with explicit fitted indices;
+    END of [11] over the masked series."""
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+    import numpy as np
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(
+                    Prep(
+                        "dil",
+                        {
+                            "indices": np.array([2]),
+                            "lengths": np.array([3]),
+                        },
+                    ),
+                    Prep("pdd", {"indices": np.array([8]), "width": 2}),
+                ),
+                iss=ISSSpec((W("[11]"),)),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id", F.col(fc[0]).cast("long").alias("dil_pdd_end")
+    )
+
+
+SQL_PREP_DIL_PDD = f"""
+WITH {SQL_TOKS}
+SELECT doc_id,
+       CAST(SUM(CASE WHEN (pos >= 2 AND pos < 5) OR (pos >= 8 AND pos < 10)
+                THEN 0 ELSE x * x END) AS BIGINT) AS dil_pdd_end
+FROM toks
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1993,6 +2124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sieve_avg_quirk": q_sieve_avg_quirk,
         "stream_rollup": q_stream_rollup,
         "iss_weighted_l2": q_iss_weighted_l2,
+        "prep_rin": q_prep_rin,
+        "prep_ffn": q_prep_ffn,
+        "prep_dil_pdd": q_prep_dil_pdd,
     }
 
 
@@ -2037,4 +2171,7 @@ def oracle_sql() -> dict[str, str]:
         "sieve_avg_quirk": SQL_SIEVE_AVG_QUIRK,
         "stream_rollup": SQL_STREAM_ROLLUP,
         "iss_weighted_l2": SQL_ISS_WEIGHTED_L2,
+        "prep_rin": SQL_PREP_RIN,
+        "prep_ffn": SQL_PREP_FFN,
+        "prep_dil_pdd": SQL_PREP_DIL_PDD,
     }
