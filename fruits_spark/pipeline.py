@@ -260,16 +260,10 @@ def cosine_topk(
     )
 
 
-def ann_lsh_buckets(
-    emb: DataFrame,
-    hyperplanes,
-    id_col: str = "vec_id",
-    col: str = "embedding",
-) -> DataFrame:
-    """Random-hyperplane LSH for ANN at scale: bucket id = sign bits of
-    ``hyperplanes @ v`` (hyperplanes drawn seeded on the driver and
-    inlined as literals).  Neighbor search then joins on bucket —
-    candidates per query drop from N to N/2^bits."""
+def lsh_bucket_expr(hyperplanes, col: str = "embedding"):
+    """Column expression: bucket id = sign bits of ``hyperplanes @ v``
+    (hyperplanes drawn seeded on the driver, inlined as literals) — a
+    pure projection, so attaching a bucket costs no join or shuffle."""
     import numpy as np
 
     H = np.asarray(hyperplanes, dtype=np.float64)
@@ -281,8 +275,20 @@ def ann_lsh_buckets(
             "(x, y) -> cast(x as double) * y), cast(0.0 as double), (acc, v) -> acc + v)"
         )
         terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << b}L ELSE 0L END)")
-    bucket = F.expr(" + ".join(terms))
-    return emb.select(F.col(id_col), bucket.alias("lsh_bucket"))
+    return F.expr(" + ".join(terms))
+
+
+def ann_lsh_buckets(
+    emb: DataFrame,
+    hyperplanes,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH for ANN at scale: neighbor search joins on
+    the bucket — candidates per query drop from N to N/2^bits."""
+    return emb.select(
+        F.col(id_col), lsh_bucket_expr(hyperplanes, col).alias("lsh_bucket")
+    )
 
 
 def embedding_near_dups(
@@ -298,9 +304,11 @@ def embedding_near_dups(
     ~2^b-fold; recall is tuned by b (and by OR-ing several bucket tables,
     which is this same query unioned over independent plane draws)."""
     q = quantize_embeddings(emb)
-    buckets = ann_lsh_buckets(q, hyperplanes, id_col=id_col, col="qvec")
-    side = q.join(buckets, id_col).select(
-        F.col(id_col), "qvec", "qnorm", "lsh_bucket"
+    # bucket is a projection on the quantized vector — NO self-join to
+    # re-attach it (a join here would broadcast the whole table at scale)
+    side = q.select(
+        F.col(id_col), "qvec", "qnorm",
+        lsh_bucket_expr(hyperplanes, "qvec").alias("lsh_bucket"),
     )
     a = side.select(
         F.col(id_col).alias("id_a"),
