@@ -2041,6 +2041,96 @@ GROUP BY doc_id
 """
 
 
+def q_prep_spe_rdw_jld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three more preparateurs, one slice each: SPE (sinusoidal
+    positional embedding x_t*sin(t/l^f), transform.py:749-835), RDW
+    (per-dim exponent x^w, transform.py:571-613) and JLD (explicit
+    projection, transform.py:616-746); END of [1] over each."""
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+    import numpy as np
+
+    mk = lambda p: Slice(  # noqa: E731
+        preps=(p,), iss=ISSSpec((W("[1]"),)), sieves=(Sieve("end"),)
+    )
+    fplan = FruitPlan(
+        (
+            mk(Prep("spe", {"freq": 0.5})),
+            mk(Prep("rdw", {"weights": np.array([2.0])})),
+            mk(Prep("jld", {"proj": np.array([[3.0]])})),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.round(F.col(fc[0]), 6).alias("spe_end_r6"),
+        F.col(fc[1]).cast("long").alias("rdw_end"),
+        F.col(fc[2]).cast("long").alias("jld_end"),
+    )
+
+
+SQL_PREP_SPE_RDW_JLD = f"""
+WITH {SQL_TOKS}
+SELECT doc_id,
+       ROUND(SUM(x * SIN(pos / SQRT(CAST(n_tok AS DOUBLE)))), 6)
+           AS spe_end_r6,
+       CAST(SUM(x * x) AS BIGINT) AS rdw_end,
+       CAST(3 * SUM(x) AS BIGINT) AS jld_end
+FROM toks
+GROUP BY doc_id
+"""
+
+
+def q_prep_rpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPE rotational positional embedding (RoPE-style,
+    transform.py:838-907) over the LAG lead-lag pair: dim0 becomes
+    lead*cos(ang) - lag*sin(ang) with ang = k/(2l-1)^f; END of [1]."""
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("lag"), Prep("rpe", {"freq": 0.5})),
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id", F.round(F.col(fc[0]), 6).alias("rpe_end_r6")
+    )
+
+
+# lead-lag at step k of 0..2l-2: lead = x[(k+1)//2], lag = x[k//2]
+SQL_PREP_RPE = f"""
+WITH {SQL_TOKS},
+steps AS (
+    SELECT doc_id, n_tok,
+           unnest(range(0, 2 * n_tok - 1)) AS k
+    FROM (SELECT DISTINCT doc_id, n_tok FROM toks)
+),
+ll AS (
+    SELECT s.doc_id, s.k, s.n_tok,
+           a.x AS lead_v, b.x AS lag_v
+    FROM steps s
+    JOIN toks a ON a.doc_id = s.doc_id AND a.pos = (s.k + 1) // 2
+    JOIN toks b ON b.doc_id = s.doc_id AND b.pos = s.k // 2
+)
+SELECT doc_id,
+       ROUND(SUM(lead_v * COS(k / SQRT(CAST(2 * n_tok - 1 AS DOUBLE)))
+                 - lag_v * SIN(k / SQRT(CAST(2 * n_tok - 1 AS DOUBLE)))),
+             6) AS rpe_end_r6
+FROM ll
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2127,6 +2217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_rin": q_prep_rin,
         "prep_ffn": q_prep_ffn,
         "prep_dil_pdd": q_prep_dil_pdd,
+        "prep_spe_rdw_jld": q_prep_spe_rdw_jld,
+        "prep_rpe": q_prep_rpe,
     }
 
 
@@ -2174,4 +2266,6 @@ def oracle_sql() -> dict[str, str]:
         "prep_rin": SQL_PREP_RIN,
         "prep_ffn": SQL_PREP_FFN,
         "prep_dil_pdd": SQL_PREP_DIL_PDD,
+        "prep_spe_rdw_jld": SQL_PREP_SPE_RDW_JLD,
+        "prep_rpe": SQL_PREP_RPE,
     }
