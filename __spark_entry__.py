@@ -2131,6 +2131,183 @@ GROUP BY doc_id
 """
 
 
+def q_prep_qtc_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QTC with a FITTED dataset-level quantile (transform.py:961-1015 +
+    the fit stage): q=0.9 resolved by np.quantile over the deterministic
+    fit sample (first 1024 docs by doc_id); upper clip then END of [1].
+    DuckDB's quantile_cont uses the same linear interpolation."""
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+    from fruits_spark.fit import fit_plan
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("qtc", {"q": 0.9}),),
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    toks = token_table(spark, sf_dir)
+    fitted = fit_plan(toks, fplan, sample_size=1024)
+    fc = feature_columns(fitted)
+    from fruits_spark.engine.executor import extract_features
+
+    out = extract_features(toks, fitted, keep=("doc_id", "source", "n_tok"))
+    return out.select(
+        "doc_id", F.round(F.col(fc[0]), 6).alias("qtc_end_r6")
+    )
+
+
+SQL_PREP_QTC_FITTED = f"""
+WITH {SQL_TOKS},
+qv AS (
+    SELECT quantile_cont(x, 0.9) AS v
+    FROM toks
+    WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id
+                     LIMIT 1024)
+)
+SELECT doc_id,
+       ROUND(SUM(LEAST(CAST(x AS DOUBLE), qv.v)), 6) AS qtc_end_r6
+FROM toks, qv
+GROUP BY doc_id
+"""
+
+
+def q_prep_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STD preparateur (per-series standardize, transform.py:92-158):
+    END of [11] over (x-mu)/(sd+1e-5) — the sum of squares of the
+    z-scores (n_tok * population variance / (sd+eps)^2)."""
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("std"),),
+                iss=ISSSpec((W("[11]"),)),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id", F.round(F.col(fc[0]), 6).alias("std_sq_end_r6")
+    )
+
+
+SQL_PREP_STD = f"""
+WITH {SQL_TOKS},
+mu AS (
+    SELECT doc_id, SUM(x) * 1.0 / MAX(n_tok) AS m, MAX(n_tok) AS n
+    FROM toks GROUP BY doc_id
+),
+sd AS (
+    SELECT t.doc_id,
+           SQRT(SUM((t.x - mu.m) * (t.x - mu.m)) / mu.n) AS s
+    FROM toks t JOIN mu ON t.doc_id = mu.doc_id
+    GROUP BY t.doc_id, mu.n
+)
+SELECT t.doc_id,
+       ROUND(SUM(((t.x - mu.m) / (sd.s + 1e-5))
+                 * ((t.x - mu.m) / (sd.s + 1e-5))), 6) AS std_sq_end_r6
+FROM toks t
+JOIN mu ON t.doc_id = mu.doc_id
+JOIN sd ON t.doc_id = sd.doc_id
+GROUP BY t.doc_id
+"""
+
+
+def q_events_iss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: gap-filled hourly event-count series per event_type
+    (sequence()+explode spine, zero fill) fed through the ISS kernels —
+    END of [1] (= total events) and [1][1] (2nd-order signature of the
+    count series).  Demonstrates the engine on irregular timestamped
+    data, not just pre-tokenized sequences."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import extract_features, feature_columns
+
+    ev = _read(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hour")
+    )
+    filled = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    series = filled.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(hour, cnt))),"
+            " s -> cast(s.cnt as int))"
+        ).alias("tokens"),
+        F.count(F.lit(1)).cast("int").alias("n_tok"),
+    ).withColumn("source", F.col("event_type"))
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1]"), W("[1][1]"))),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = extract_features(
+        series, fplan, keep=("event_type", "n_tok")
+    )
+    return out.select(
+        "event_type",
+        F.col("n_tok").cast("int").alias("n_hours"),
+        F.col(fc[0]).cast("long").alias("total_events"),
+        F.col(fc[1]).cast("long").alias("sig_1_1"),
+    )
+
+
+SQL_EVENTS_ISS = """
+WITH hourly AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type, hour
+),
+spine AS (
+    SELECT event_type, unnest(range(h0, h1 + 1)) AS hour
+    FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+          FROM hourly GROUP BY event_type)
+),
+filled AS (
+    SELECT s.event_type, s.hour, COALESCE(h.cnt, 0) AS cnt
+    FROM spine s LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.hour = h.hour
+),
+runs AS (
+    SELECT event_type, hour, cnt,
+           SUM(cnt) OVER w AS run1
+    FROM filled
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS INT) AS n_hours,
+       CAST(SUM(cnt) AS BIGINT) AS total_events,
+       CAST(SUM(cnt * (run1 - cnt)) AS BIGINT) AS sig_1_1
+FROM runs
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2219,6 +2396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_dil_pdd": q_prep_dil_pdd,
         "prep_spe_rdw_jld": q_prep_spe_rdw_jld,
         "prep_rpe": q_prep_rpe,
+        "prep_qtc_fitted": q_prep_qtc_fitted,
+        "prep_std": q_prep_std,
+        "events_iss": q_events_iss,
     }
 
 
@@ -2268,4 +2448,7 @@ def oracle_sql() -> dict[str, str]:
         "prep_dil_pdd": SQL_PREP_DIL_PDD,
         "prep_spe_rdw_jld": SQL_PREP_SPE_RDW_JLD,
         "prep_rpe": SQL_PREP_RPE,
+        "prep_qtc_fitted": SQL_PREP_QTC_FITTED,
+        "prep_std": SQL_PREP_STD,
+        "events_iss": SQL_EVENTS_ISS,
     }
