@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--buckets-t1k", type=int, default=1024)
     ap.add_argument("--salts", type=int, default=16)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--retire-runs", default="",
+                    help="comma-separated run_ids whose tier partitions "
+                         "are dropped after this run (retention)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -52,8 +55,10 @@ def main() -> None:
     spark = build_session(master=args.master, app=f"iss-rollup-{args.run_id}")
     t_start = time.time()
 
+    from fruits_spark.engine import io as IO
+
     if args.input:
-        toks = spark.read.parquet(args.input)
+        toks = IO.read_table(spark, args.input)
     elif args.n_docs_synth:
         toks = datagen.generate_spark(spark, args.n_docs_synth)
     else:
@@ -108,9 +113,21 @@ def main() -> None:
         )
         metrics[f"{tier.name}_cells_committed"] = n
         enc = encode_streams(filled, f"sum_{fc[0]}")
-        enc.write.mode("overwrite").parquet(
-            os.path.join(args.output, f"codec_{tier.name}", f"run={args.run_id}")
+        IO.write_tier(
+            enc,
+            os.path.join(
+                args.output, f"codec_{tier.name}", f"run={args.run_id}"
+            ),
+            mode="overwrite",
         )
+
+    if args.retire_runs:
+        for tier, _ in tiers:
+            IO.drop_retired_partitions(
+                spark,
+                os.path.join(args.output, f"codec_{tier.name}"),
+                args.retire_runs.split(","),
+            )
 
     m = LI.run_metrics(spark, args.output, args.run_id).collect()
     for row in m:
