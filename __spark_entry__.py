@@ -2308,6 +2308,106 @@ GROUP BY event_type
 """
 
 
+def q_iss_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct multivariate input (array<array<double>>, dims x steps —
+    the reference's (n, d, l) tensor): a second derived channel
+    y = (7x+3) mod 101, words [12] (product letter) and [1][2]
+    (cross-channel two-letter), END sieve."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import extract_features, feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[12]"), W("[1][2]"))),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    toks = token_table(spark, sf_dir).withColumn(
+        "mv",
+        F.array(
+            F.expr("transform(tokens, t -> cast(t as double))"),
+            F.expr(
+                "transform(tokens, t -> cast((t * 7 + 3) % 101 as double))"
+            ),
+        ),
+    )
+    out = extract_features(
+        toks, fplan, tokens_col="mv",
+        keep=("doc_id", "source", "n_tok"), multivariate=True,
+    )
+    return out.select(
+        "doc_id",
+        F.col(fc[0]).cast("long").alias("end_12"),
+        F.col(fc[1]).cast("long").alias("end_1_2"),
+    )
+
+
+SQL_ISS_MULTIVARIATE = f"""
+WITH {SQL_TOKS},
+m AS (
+    SELECT doc_id, pos, x, ((x * 7) + 3) % 101 AS y,
+           SUM(x) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runx
+    FROM toks
+)
+SELECT doc_id,
+       CAST(SUM(x * y) AS BIGINT) AS end_12,
+       CAST(SUM((runx - x) * y) AS BIGINT) AS end_1_2
+FROM m
+GROUP BY doc_id
+"""
+
+
+def q_iss_negative_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative exponents (division in the Reals semiring,
+    semiring.py:104-106): on z = x+1 (FUN prep keeps z > 0), END of
+    [(-1)] (= sum of reciprocals) and [(-1)][1]."""
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("fun", {"f": lambda Z: Z + 1.0}),),
+                iss=ISSSpec((W("[(-1)]"), W("[(-1)][1]"))),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.round(F.col(fc[0]), 6).alias("end_neg_r6"),
+        F.round(F.col(fc[1]), 6).alias("end_neg_1_r6"),
+    )
+
+
+SQL_ISS_NEGATIVE_EXP = f"""
+WITH {SQL_TOKS},
+z AS (
+    SELECT doc_id, pos, CAST(x + 1 AS DOUBLE) AS zv
+    FROM toks
+),
+r AS (
+    SELECT doc_id, zv,
+           SUM(1.0 / zv) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runinv
+    FROM z
+)
+SELECT doc_id,
+       ROUND(SUM(1.0 / zv), 6) AS end_neg_r6,
+       ROUND(SUM((runinv - 1.0 / zv) * zv), 6) AS end_neg_1_r6
+FROM r
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2399,6 +2499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_qtc_fitted": q_prep_qtc_fitted,
         "prep_std": q_prep_std,
         "events_iss": q_events_iss,
+        "iss_multivariate": q_iss_multivariate,
+        "iss_negative_exp": q_iss_negative_exp,
     }
 
 
@@ -2451,4 +2553,6 @@ def oracle_sql() -> dict[str, str]:
         "prep_qtc_fitted": SQL_PREP_QTC_FITTED,
         "prep_std": SQL_PREP_STD,
         "events_iss": SQL_EVENTS_ISS,
+        "iss_multivariate": SQL_ISS_MULTIVARIATE,
+        "iss_negative_exp": SQL_ISS_NEGATIVE_EXP,
     }
