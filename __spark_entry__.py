@@ -2408,6 +2408,55 @@ GROUP BY doc_id
 """
 
 
+def q_iss_arctic_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-weighted arctic ISS (additive penalty in max-plus,
+    semiring.py:296-311 + weighting.py:69-110): END of [1][1] =
+    max_j( max_(i<=j)(x_i + a*g_i) + x_j - a*g_j ), g = relative index."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec(
+                    (W("[1][1]"),),
+                    semiring="arctic",
+                    weighting="indices",
+                    weighting_params={"relative": True, "scale": 1.0},
+                ),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id", F.round(F.col(fc[0]), 6).alias("warc_end_r6")
+    )
+
+
+SQL_ISS_ARCTIC_WEIGHTED = f"""
+WITH {SQL_TOKS},
+g AS (
+    SELECT doc_id, pos, CAST(x AS DOUBLE) AS xv,
+           ((CAST(pos + 1 AS DOUBLE) / n_tok) - (CAST(1 AS DOUBLE) / n_tok))
+               / (1.0 - (CAST(1 AS DOUBLE) / n_tok)) AS gi
+    FROM toks
+),
+lvl1 AS (
+    SELECT doc_id, pos, xv, gi,
+           MAX(xv + gi) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax
+    FROM g
+)
+SELECT doc_id,
+       ROUND(MAX(rmax + xv - gi), 6) AS warc_end_r6
+FROM lvl1
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2501,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_iss": q_events_iss,
         "iss_multivariate": q_iss_multivariate,
         "iss_negative_exp": q_iss_negative_exp,
+        "iss_arctic_weighted": q_iss_arctic_weighted,
     }
 
 
@@ -2555,4 +2605,5 @@ def oracle_sql() -> dict[str, str]:
         "events_iss": SQL_EVENTS_ISS,
         "iss_multivariate": SQL_ISS_MULTIVARIATE,
         "iss_negative_exp": SQL_ISS_NEGATIVE_EXP,
+        "iss_arctic_weighted": SQL_ISS_ARCTIC_WEIGHTED,
     }

@@ -34,13 +34,24 @@ def dod_pack(vals: pd.Series) -> pd.Series:
 
 def encode_streams(
     rolled: DataFrame, value_col: str, key: str = "source",
-    order: str = "bucket",
+    order: str = "bucket", chunk: int = 4096,
 ) -> DataFrame:
-    """Per key: sort cells by ``order`` and compress the value stream
-    (Gorilla) plus the bucket-id stream (delta-of-delta)."""
+    """Per (key, chunk of ``chunk`` cells): sort cells by ``order`` and
+    compress the value stream (Gorilla) plus the bucket-id stream
+    (delta-of-delta) into one blob row.
+
+    Chunking bounds the skew-prone part: the sum/max tier rollup is
+    skew-immune (map-side partial aggregation collapses every task's
+    output to one row per cell — measured, BENCH.md), but packing a
+    WHOLE source's stream into one ``collect_list`` row puts ~half the
+    cells on one reducer under Zipf sources and needs O(stream) memory
+    (8 GB/source at 10^12 scale).  ``floor(bucket/chunk)`` shards the
+    stream into fixed-size independent blocks — standard time-series
+    block layout (readers seek by chunk id), reducer memory O(chunk)."""
+    chunk_id = F.floor(F.col(order) / chunk).cast("long").alias("chunk_id")
     per_key = (
         rolled.select(key, order, value_col)
-        .groupBy(key)
+        .groupBy(key, chunk_id)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(order, value_col))
@@ -48,12 +59,14 @@ def encode_streams(
         )
         .select(
             key,
+            "chunk_id",
             F.col(f"cells.{order}").alias("buckets"),
             F.col(f"cells.{value_col}").alias("vals"),
         )
     )
     return per_key.select(
         key,
+        "chunk_id",
         F.size("vals").alias("n"),
         gorilla_pack(F.col("vals")).alias("gorilla_blob"),
         dod_pack(F.col("buckets").cast("array<long>")).alias("dod_blob"),

@@ -205,3 +205,35 @@ def test_extract_features_plan_is_shuffle_free(spark, token_df):
     feats = EX.extract_features(token_df, PLAN)
     plan_str = feats._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan_str  # map-only: no shuffle before rollup
+
+
+def test_codec_chunked_blocks_reassemble(spark, token_df):
+    # chunked packing (skew/memory bound at scale): blobs per
+    # (source, chunk_id) reassemble to the full ordered stream
+    from fruits_spark.engine.codec_udf import decode_stream, encode_streams
+    from fruits_spark.kernels.codec import dod_decode
+
+    feats = EX.extract_features(token_df, PLAN)
+    fcols = EX.feature_columns(PLAN)
+    rolled = RU.rollup_tier(feats, RU.Tier("t1k", 1_000), 16, fcols)
+    enc = encode_streams(rolled, f"sum_{fcols[0]}", chunk=4).toPandas()
+    raw = rolled.select("source", "bucket", f"sum_{fcols[0]}").toPandas()
+    assert (enc.groupby("source").size() > 1).any(), \
+        "16 buckets at chunk=4 must split the big sources"
+    for src, grp in enc.groupby("source"):
+        grp = grp.sort_values("chunk_id")
+        vals, bks = [], []
+        for _, row in grp.iterrows():
+            vals.append(decode_stream(bytes(row["gorilla_blob"]), row["n"]))
+            bks.append(dod_decode(bytes(row["dod_blob"]), row["n"]))
+        got = np.concatenate(vals)
+        expect = (
+            raw[raw["source"] == src]
+            .sort_values("bucket")[f"sum_{fcols[0]}"]
+            .to_numpy()
+        )
+        np.testing.assert_array_equal(got, expect)
+        np.testing.assert_array_equal(
+            np.concatenate(bks),
+            np.sort(raw[raw["source"] == src]["bucket"].to_numpy()),
+        )
