@@ -44,25 +44,34 @@ class Seg:
     def cumsum(self, x: np.ndarray) -> np.ndarray:
         cs = np.cumsum(x)
         if cs.size and max(cs.max(), -cs.min()) >= 2.0**53:
-            # the global carry trick would lose integer exactness once the
-            # cross-segment accumulation passes 2^53 — switch to the
-            # doubling scan, whose partial sums stay per-segment-bounded
-            return self._cumsum_doubling(x)
+            # the global carry trick would lose integer exactness once
+            # the cross-segment accumulation passes 2^53 — switch to the
+            # self-resetting scan, whose intermediates stay
+            # per-segment-bounded
+            return self._cumsum_selfreset(x)
         starts = self.offsets[:-1]
         base = np.where(starts > 0, cs[starts - 1], 0.0)
         np.subtract(cs, np.repeat(base, self.lengths), out=cs)
         return cs
 
-    def _cumsum_doubling(self, x: np.ndarray) -> np.ndarray:
-        out = x.copy()
-        step = 1
-        while step < self.max_len:
-            shifted = np.empty_like(out)
-            shifted[step:] = out[:-step]
-            shifted[:step] = 0.0
-            out = out + np.where(self.pos >= step, shifted, 0.0)
-            step <<= 1
-        return out
+    def _cumsum_selfreset(self, x: np.ndarray) -> np.ndarray:
+        """Subtract each previous nonempty segment's total at the next
+        segment's first element, then one global cumsum: the running
+        value cancels the subtracted total, so intermediates never
+        exceed per-segment magnitudes (exact for integer-valued data of
+        any global total; O(total), replaces the old O(L log L)
+        doubling fallback).  Not the default: reduceat totals are
+        pairwise-summed while cumsum is sequential, so for floats the
+        boundary cancellation is only ~1-ulp, a different noise pattern
+        than the carry-broadcast above."""
+        ne = self.nonempty
+        starts_ne = self.offsets[:-1][ne]
+        if starts_ne.size <= 1:
+            return np.cumsum(x).astype(np.float64)
+        totals = np.add.reduceat(x, starts_ne)
+        x2 = x.astype(np.float64, copy=True)
+        x2[starts_ne[1:]] -= totals[:-1]
+        return np.cumsum(x2)
 
     def shift1(self, x: np.ndarray) -> np.ndarray:
         out = np.empty_like(x)
