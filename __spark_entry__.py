@@ -2457,6 +2457,53 @@ GROUP BY doc_id
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: opaque binary blobs ->
+    mapInPandas strided frame sample (every 16th byte, the audio/video
+    frame-skip pattern) -> per-frame feature aggregation.  The byte
+    decode is real (np.frombuffer); only the media codec is a stub.
+    Texts are ASCII so the oracle recomputes byte values via ord()."""
+    import pandas as pd
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    schema = "doc_id long, n_frames int, frame_sum long"
+
+    def sample(batches):
+        import numpy as np
+
+        for pdf in batches:
+            nf, fs = [], []
+            for b in pdf["blob"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                frames = arr[::16]  # STUB codec: stride = frame skip
+                nf.append(len(frames))
+                fs.append(int(frames.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_frames": np.asarray(nf, dtype=np.int32),
+                    "frame_sum": fs,
+                }
+            )
+
+    return docs.mapInPandas(sample, schema)
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST(SUM(ord(substr(text, i, 1))) AS BIGINT) AS frame_sum
+FROM (
+    SELECT doc_id, text,
+           unnest(range(1, length(text) + 1, 16)) AS i
+    FROM documents
+)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2551,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iss_multivariate": q_iss_multivariate,
         "iss_negative_exp": q_iss_negative_exp,
         "iss_arctic_weighted": q_iss_arctic_weighted,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -2606,4 +2654,5 @@ def oracle_sql() -> dict[str, str]:
         "iss_multivariate": SQL_ISS_MULTIVARIATE,
         "iss_negative_exp": SQL_ISS_NEGATIVE_EXP,
         "iss_arctic_weighted": SQL_ISS_ARCTIC_WEIGHTED,
+        "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     }
