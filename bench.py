@@ -243,7 +243,7 @@ def main() -> None:
     # min-of-N headline: the shared host's neighbor steal swings
     # individual stages 3-5x run-to-run (BENCH.md documents the
     # variance); min over repeats recovers the machine's actual rate
-    pipe_reps = int(os.environ.get("SPARK_GRAFT_PIPE_REPS", "2"))
+    pipe_reps = int(os.environ.get("SPARK_GRAFT_PIPE_REPS", "3"))
     headline = float("inf")
     stage_times: dict = {}
     for _ in range(pipe_reps):
