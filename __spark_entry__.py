@@ -2504,6 +2504,117 @@ GROUP BY doc_id
 """
 
 
+def _custom_g(Z):
+    """User weighting g(i) = sqrt(i) (Custom weighting,
+    weighting.py:41-66: any callable on the batch)."""
+    import numpy as np
+
+    n, _, length = Z.shape
+    return np.broadcast_to(
+        np.sqrt(np.arange(length, dtype=np.float64)), (n, length)
+    ).copy()
+
+
+def q_iss_weighted_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom weighting (user callable g): END of [1][1] with
+    g(i) = sqrt(i), alpha=1 — Σ_j (Σ_(i<j) x_i e^(g_i)) x_j e^(-g_j),
+    on tokens scaled by 0.01."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import extract_features, feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec(
+                    (W("[1][1]"),),
+                    weighting="custom",
+                    weighting_params={"fn": _custom_g},
+                ),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    toks = token_table(spark, sf_dir)
+    out = extract_features(
+        toks, fplan, keep=("doc_id", "source", "n_tok"), cast_scale=0.01
+    )
+    return out.select(
+        "doc_id", F.round(F.col(fc[0]), 6).alias("wcust_end_r6")
+    )
+
+
+SQL_ISS_WEIGHTED_CUSTOM = f"""
+WITH {SQL_TOKS},
+g AS (
+    SELECT doc_id, pos, x * 0.01 AS xs, SQRT(CAST(pos AS DOUBLE)) AS gi
+    FROM toks
+),
+lvl1 AS (
+    SELECT doc_id, pos, xs, gi,
+           SUM(xs * EXP(gi)) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runw
+    FROM g
+)
+SELECT doc_id,
+       ROUND(SUM(((runw - xs * EXP(gi)) * xs) * EXP(-gi)), 6)
+           AS wcust_end_r6
+FROM lvl1
+GROUP BY doc_id
+"""
+
+
+def q_iss_weighted_plateaus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plateaus weighting (step function g, weighting.py:213-256):
+    3 plateaus, scale 1 — g(pos) = min(floor(pos/floor(l/3)), 2)/2."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import extract_features, feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec(
+                    (W("[1][1]"),),
+                    weighting="plateaus",
+                    weighting_params={"nplateaus": 3, "scale": 1.0},
+                ),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    toks = token_table(spark, sf_dir)
+    out = extract_features(
+        toks, fplan, keep=("doc_id", "source", "n_tok"), cast_scale=0.01
+    )
+    return out.select(
+        "doc_id", F.round(F.col(fc[0]), 6).alias("wplat_end_r6")
+    )
+
+
+SQL_ISS_WEIGHTED_PLATEAUS = f"""
+WITH {SQL_TOKS},
+g AS (
+    SELECT doc_id, pos, x * 0.01 AS xs,
+           LEAST(FLOOR(pos / GREATEST(FLOOR(n_tok / 3), 1)), 2) / 2.0 AS gi
+    FROM toks
+),
+lvl1 AS (
+    SELECT doc_id, pos, xs, gi,
+           SUM(xs * EXP(gi)) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runw
+    FROM g
+)
+SELECT doc_id,
+       ROUND(SUM(((runw - xs * EXP(gi)) * xs) * EXP(-gi)), 6)
+           AS wplat_end_r6
+FROM lvl1
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2599,6 +2710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iss_negative_exp": q_iss_negative_exp,
         "iss_arctic_weighted": q_iss_arctic_weighted,
         "multimodal_frames": q_multimodal_frames,
+        "iss_weighted_custom": q_iss_weighted_custom,
+        "iss_weighted_plateaus": q_iss_weighted_plateaus,
     }
 
 
@@ -2655,4 +2768,6 @@ def oracle_sql() -> dict[str, str]:
         "iss_negative_exp": SQL_ISS_NEGATIVE_EXP,
         "iss_arctic_weighted": SQL_ISS_ARCTIC_WEIGHTED,
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+        "iss_weighted_custom": SQL_ISS_WEIGHTED_CUSTOM,
+        "iss_weighted_plateaus": SQL_ISS_WEIGHTED_PLATEAUS,
     }
