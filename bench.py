@@ -271,6 +271,25 @@ def main() -> None:
         "n_streams": n_streams,
         "tokens_per_sec": round(total_tokens / headline),
         "points_per_sec": round(total_tokens * n_streams / headline),
+        # the north metric: rolled-up ISS points/s PER RETENTION TIER —
+        # every tier consumes the full point stream (t1k from per-doc
+        # features, t100k re-rolled from t1k), so tier throughput =
+        # total points / that tier's stage time
+        "tier_points_per_sec": {
+            "raw_scan": round(
+                total_tokens * n_streams
+                / max(stage_times.get("extract_features", headline), 1e-9)
+            ),
+            "t1k": round(
+                total_tokens * n_streams
+                / max(stage_times.get("rollup_t1k_salted", headline), 1e-9)
+            ),
+            "t100k": round(
+                total_tokens * n_streams
+                / max(stage_times.get("rollup_t100k_from_t1k", headline),
+                      1e-9)
+            ),
+        },
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
