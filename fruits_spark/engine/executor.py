@@ -427,8 +427,12 @@ def _emit_level_flat_cse(seg, xp, spec):
     def advance(state, letter):
         e = letter[0] if letter else 0
         if semiring == "reals":
-            tmp = seg.shift1(state) if state is not None else None
-            tmp = KF._mul_letter(tmp, xp, e)
+            if state is None:
+                tmp = KF._mul_letter(None, xp, e)
+            else:
+                # shift1 allocated tmp fresh -> in-place multiply is safe
+                # (cached trie states are never mutated)
+                tmp = KF._mul_letter_owned(seg.shift1(state), xp, e)
             return seg.cumsum(tmp)
         if semiring == "arctic":
             tmp = (state if state is not None else 0.0) + float(e) * xp

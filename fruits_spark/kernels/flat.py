@@ -308,6 +308,20 @@ def _mul_letter(tmp: np.ndarray | None, x: np.ndarray, e: int) -> np.ndarray:
     return tmp
 
 
+def _mul_letter_owned(tmp: np.ndarray, x: np.ndarray, e: int) -> np.ndarray:
+    """In-place variant of :func:`_mul_letter` for a ``tmp`` the caller
+    OWNS (freshly allocated, not a cached trie state): same values, no
+    per-multiply allocation."""
+    e = int(e)
+    if e > 0:
+        for _ in range(e):
+            np.multiply(tmp, x, out=tmp)
+    elif e < 0:
+        for _ in range(-e):
+            np.divide(tmp, x, out=tmp)
+    return tmp
+
+
 def iss_flat(
     seg: Seg,
     x: np.ndarray,
