@@ -431,7 +431,9 @@ def _emit_level_flat_cse(seg, xp, spec):
                 tmp = KF._mul_letter(None, xp, e)
             else:
                 # shift1 allocated tmp fresh -> in-place multiply is safe
-                # (cached trie states are never mutated)
+                # (cached trie states are never mutated); NOTE: fusing
+                # shift into the first multiply via offset views was
+                # measured ~1% SLOWER (unaligned SIMD) — keep unfused
                 tmp = KF._mul_letter_owned(seg.shift1(state), xp, e)
             return seg.cumsum(tmp)
         if semiring == "arctic":
