@@ -1808,9 +1808,11 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_expr=(F.col("doc_id") % 8).cast("int"),
         schema="doc_id long, tokens array<int>, n_tok int, source string",
     )
-    q.awaitTermination(300)
-    tier = ST.compact_tier(spark, base, fc)
-    return tier.select(
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_rollup: availableNow batch not done "
+                           "in 600s — refusing to compact partial data")
+    tier = ST.compact_tier(spark, base, fc).select(
         "source",
         F.col("bucket").cast("int").alias("bucket"),
         F.col("n_docs").cast("long").alias("n_docs"),
@@ -1818,6 +1820,13 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"sum_{fc[0]}").cast("long").alias("sum_end_1"),
         F.col(f"max_{fc[1]}").cast("long").alias("max_end_11"),
     )
+    # materialize (tiny: one row per tier cell) so the temp dir holding
+    # the token copy + partials can be removed before returning
+    pdf = tier.toPandas()
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=tier.schema)
 
 
 SQL_STREAM_ROLLUP = f"""

@@ -100,10 +100,7 @@ def warmup(spark, toks, fplan, full: bool = True):
     t1k = RU.rollup_tier_salted(feats, RU.Tier("t1k", 1_000), 64, fc,
                                 n_salts=16).cache()
     t1k.count()
-    aggs = ["sum(n_docs) AS n_docs", "sum(sum_tok) AS sum_tok"]
-    for c in fc:
-        aggs.append(f"sum(sum_{c}) AS sum_{c}")
-        aggs.append(f"max(max_{c}) AS max_{c}")
+    aggs = RU.reagg_exprs(fc)
     t100k = RU._sql_agg(
         t1k.withColumn("bucket100", (F.col("bucket") % 16)),
         ["source", "bucket100"], aggs,
@@ -142,10 +139,7 @@ def run_pipeline(spark, toks, fplan, out_base: str | None = None) -> dict:
     t0 = time.time()
     # coarser tier re-rolled FROM the finer tier (algebraic aggregates) —
     # never revisits per-doc data
-    aggs = ["sum(n_docs) AS n_docs", "sum(sum_tok) AS sum_tok"]
-    for c in fc:
-        aggs.append(f"sum(sum_{c}) AS sum_{c}")
-        aggs.append(f"max(max_{c}) AS max_{c}")
+    aggs = RU.reagg_exprs(fc)
     t100k = RU._sql_agg(
         t1k.withColumn("bucket100", (F.col("bucket") % 16)),
         ["source", "bucket100"],

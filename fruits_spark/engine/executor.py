@@ -459,11 +459,8 @@ def _apply_sieve_flat(seg, stream, sv: Pl.Sieve, src: np.ndarray,
 
     p = sv.params
     pre = p.get("pre", 0)
-    if pre > 0:
-        stream = KF.inc_flat(seg, stream, 1, pre)
-    elif pre < 0:
-        for _ in range(-pre):
-            stream = seg.cumsum(stream)
+    if pre:
+        stream = KF._pre_inc_flat(seg, stream, pre)
     if sv.kind in ("ppv", "cpv"):
         qs = _ppv_quantiles(sv, stream_idx)
         fn = KF.sieve_ppv_flat if sv.kind == "ppv" else KF.sieve_cpv_flat

@@ -5,13 +5,17 @@ The north-rule deployment stores the token table and the tier outputs as
 Iceberg tables partitioned by ``(source, bucket(doc_id))`` — partition
 pruning, snapshot isolation, and ``writeTo(...).append()`` commits come
 from the format.  This container has no Iceberg runtime jar (no network
-installs), so the engine routes all I/O through this module:
+installs), so the engine routes all I/O through this module with ONE
+naming/retention contract for both branches:
 
-  * if ``SPARK_GRAFT_CATALOG`` names a configured Iceberg catalog
-    (e.g. ``spark.sql.catalog.lake = org.apache.iceberg...``), names are
-    treated as catalog tables and writes use ``writeTo`` appends;
-  * otherwise names are parquet directory paths with an identical
-    layout (the partitioned write keeps (source, bucket) files prunable).
+  * a tier write is addressed as ``(base, table, run_id)``;
+  * catalog branch (``SPARK_GRAFT_CATALOG`` names a configured Iceberg
+    catalog): rows land in ``{catalog}.{table}`` with a ``run_id``
+    column appended; retention is a metadata-light
+    ``DELETE … WHERE run_id IN (…)``;
+  * parquet branch: rows land under ``{base}/{table}/run={run_id}``
+    partitioned by the same columns; retention removes the run
+    subdirectories.
 
 Everything else in the engine (rollups, gap-fill, lineage commits) is
 format-agnostic — it only ever sees DataFrames from/for this module.
@@ -20,60 +24,81 @@ format-agnostic — it only ever sees DataFrames from/for this module.
 from __future__ import annotations
 
 import os
+import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _catalog() -> str | None:
     return os.environ.get("SPARK_GRAFT_CATALOG") or None
 
 
+def _table_ident(table: str) -> str:
+    """A path-ish tier name -> a valid catalog table identifier."""
+    return re.sub(r"[^A-Za-z0-9_]+", "_", table).strip("_")
+
+
 def read_table(spark: SparkSession, name: str) -> DataFrame:
-    """Read a token/tier table by catalog name or parquet path."""
+    """Read an input table by catalog name or parquet path."""
     cat = _catalog()
     if cat:
-        return spark.read.table(f"{cat}.{name}")
+        return spark.read.table(f"{cat}.{_table_ident(name)}")
     return spark.read.parquet(name)
 
 
 def write_tier(
     df: DataFrame,
-    name: str,
-    mode: str = "append",
+    base: str,
+    table: str,
+    run_id: str,
     partition_cols: tuple[str, ...] = ("source",),
 ) -> None:
-    """Write tier cells: Iceberg ``writeTo`` append (atomic snapshot
-    commit) or a partitioned parquet write with the same layout."""
+    """Write one run's tier cells.  Re-writing the same (table, run_id)
+    replaces that run only (idempotent re-runs), never other runs."""
     cat = _catalog()
     if cat:
-        w = df.writeTo(f"{cat}.{name}")
-        if mode == "overwrite":
-            w.createOrReplace()
+        ident = f"{cat}.{_table_ident(table)}"
+        out = df.withColumn("run_id", F.lit(run_id))
+        if spark_table_exists(df.sparkSession, ident):
+            df.sparkSession.sql(
+                f"DELETE FROM {ident} WHERE run_id = '{run_id}'"
+            )
+            out.writeTo(ident).append()
         else:
-            w.append()
+            out.writeTo(ident).partitionedBy(
+                *[F.col(c) for c in partition_cols]
+            ).create()
         return
     (
-        df.write.mode(mode)
+        df.write.mode("overwrite")
         .partitionBy(*partition_cols)
-        .parquet(name)
+        .parquet(os.path.join(base, table, f"run={run_id}"))
     )
 
 
+def spark_table_exists(spark: SparkSession, ident: str) -> bool:
+    try:
+        spark.read.table(ident)
+        return True
+    except Exception:
+        return False
+
+
 def drop_retired_partitions(
-    spark: SparkSession, name: str, run_ids: list[str]
+    spark: SparkSession, base: str, table: str, run_ids: list[str]
 ) -> None:
-    """Retention: drop tier partitions for retired runs.  On Iceberg
-    this is a metadata-only ``DELETE WHERE run_id IN (...)`` (or
-    ``expire_snapshots``); on parquet it removes ``run=<id>``
-    subdirectories."""
+    """Retention: drop the given runs from a tier table.  Iceberg: one
+    ``DELETE WHERE run_id IN (…)`` (metadata-light, snapshots expire on
+    their own schedule); parquet: remove ``run=<id>`` subdirectories."""
     cat = _catalog()
     if cat:
+        ident = f"{cat}.{_table_ident(table)}"
         ids = ", ".join(f"'{r}'" for r in run_ids)
-        spark.sql(f"DELETE FROM {cat}.{name} WHERE run_id IN ({ids})")
+        spark.sql(f"DELETE FROM {ident} WHERE run_id IN ({ids})")
         return
     import shutil
 
     for r in run_ids:
-        p = os.path.join(name, f"run={r}")
+        p = os.path.join(base, table, f"run={r}")
         if os.path.exists(p):
             shutil.rmtree(p)

@@ -83,6 +83,17 @@ def rollup_tier(
     return _sql_agg(df, ["source", "bucket"], aggs)
 
 
+def reagg_exprs(feature_cols: list[str]) -> list[str]:
+    """The algebraic re-aggregation of tier cells (sums of sums, max of
+    maxes) — single source of truth for every coarser-tier rollup,
+    stream compaction, and warmup path."""
+    aggs = ["sum(n_docs) AS n_docs", "sum(sum_tok) AS sum_tok"]
+    for c in feature_cols:
+        aggs.append(f"sum(sum_{c}) AS sum_{c}")
+        aggs.append(f"max(max_{c}) AS max_{c}")
+    return aggs
+
+
 def _sql_agg(df: DataFrame, keys: list[str], aggs: list[str]) -> DataFrame:
     name = f"_rollup_in_{abs(hash(tuple(aggs))) % 10**8}"
     df.createOrReplaceTempView(name)

@@ -46,10 +46,10 @@ class Seg:
         cs = np.cumsum(x)
         if cs.size and max(cs.max(), -cs.min()) >= 2.0**53:
             # the global carry trick would lose integer exactness once
-            # the cross-segment accumulation passes 2^53 — switch to the
-            # self-resetting scan, whose intermediates stay
-            # per-segment-bounded
-            return self._cumsum_selfreset(x)
+            # the cross-segment accumulation passes 2^53 — switch to
+            # per-segment independent cumsums (exact whenever a per-row
+            # scan is; O(total) + one python iteration per segment)
+            return self._cumsum_per_segment(x)
         starts = self.offsets[:-1]
         base = np.where(starts > 0, cs[starts - 1], 0.0)
         if self.n <= 2048:
@@ -73,24 +73,19 @@ class Seg:
         np.subtract(cs, buf, out=cs)
         return cs
 
-    def _cumsum_selfreset(self, x: np.ndarray) -> np.ndarray:
-        """Subtract each previous nonempty segment's total at the next
-        segment's first element, then one global cumsum: the running
-        value cancels the subtracted total, so intermediates never
-        exceed per-segment magnitudes (exact for integer-valued data of
-        any global total; O(total), replaces the old O(L log L)
-        doubling fallback).  Not the default: reduceat totals are
-        pairwise-summed while cumsum is sequential, so for floats the
-        boundary cancellation is only ~1-ulp, a different noise pattern
-        than the carry-broadcast above."""
-        ne = self.nonempty
-        starts_ne = self.offsets[:-1][ne]
-        if starts_ne.size <= 1:
-            return np.cumsum(x).astype(np.float64)
-        totals = np.add.reduceat(x, starts_ne)
-        x2 = x.astype(np.float64, copy=True)
-        x2[starts_ne[1:]] -= totals[:-1]
-        return np.cumsum(x2)
+    def _cumsum_per_segment(self, x: np.ndarray) -> np.ndarray:
+        """Independent per-segment cumsum slices: bit-identical to a
+        per-row scan for any magnitudes (no cross-segment arithmetic at
+        all — a self-resetting-accumulator variant was tried and leaks
+        rounding into later segments when a boundary subtraction needs
+        more than 53 mantissa bits)."""
+        out = x.astype(np.float64, copy=True)
+        o = self.offsets
+        for i in range(self.n):
+            s, e = o[i], o[i + 1]
+            if e > s:
+                np.cumsum(out[s:e], out=out[s:e])
+        return out
 
     def shift1(self, x: np.ndarray) -> np.ndarray:
         out = np.empty_like(x)

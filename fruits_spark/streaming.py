@@ -87,8 +87,4 @@ def compact_tier(
     partials = spark.read.option("recursiveFileLookup", "true").parquet(
         os.path.join(output_base, "partials")
     )
-    aggs = ["sum(n_docs) AS n_docs", "sum(sum_tok) AS sum_tok"]
-    for c in fcols:
-        aggs.append(f"sum(sum_{c}) AS sum_{c}")
-        aggs.append(f"max(max_{c}) AS max_{c}")
-    return _sql_agg(partials, ["source", "bucket"], aggs)
+    return _sql_agg(partials, ["source", "bucket"], RU.reagg_exprs(fcols))

@@ -113,19 +113,12 @@ def main() -> None:
         )
         metrics[f"{tier.name}_cells_committed"] = n
         enc = encode_streams(filled, f"sum_{fc[0]}")
-        IO.write_tier(
-            enc,
-            os.path.join(
-                args.output, f"codec_{tier.name}", f"run={args.run_id}"
-            ),
-            mode="overwrite",
-        )
+        IO.write_tier(enc, args.output, f"codec_{tier.name}", args.run_id)
 
     if args.retire_runs:
         for tier, _ in tiers:
             IO.drop_retired_partitions(
-                spark,
-                os.path.join(args.output, f"codec_{tier.name}"),
+                spark, args.output, f"codec_{tier.name}",
                 args.retire_runs.split(","),
             )
 

@@ -184,3 +184,20 @@ def test_seg_primitives():
     np.testing.assert_array_equal(seg.runmax(y), [3, 3, 3, 5, 5, 6, 6])
     np.testing.assert_array_equal(seg.sum(x), [6, 0, 100])
     np.testing.assert_array_equal(seg.gather_last(x), [3, 0, 40])
+
+
+def test_cumsum_fallback_exact_across_huge_segments():
+    # regression: a segment totaling >=2^53 must not leak rounding into
+    # LATER segments (the old self-reset boundary subtraction did)
+    import numpy as np
+    from fruits_spark.kernels.flat import Seg
+
+    lens = np.array([4, 0, 3, 5])
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    x = np.array([2.0**52] * 7 + [1, 2, 3, 4, 5], dtype=np.float64)
+    seg = Seg(offsets)
+    got = seg.cumsum(x)
+    want = np.concatenate(
+        [np.cumsum(x[offsets[i]:offsets[i + 1]]) for i in range(4) if lens[i]]
+    )
+    np.testing.assert_array_equal(got, want)
