@@ -698,10 +698,37 @@ def extract_features(
             run_multivariate, out_schema
         )
 
+    # Arrow batches are sized in ROWS (512); with long sequences one
+    # batch's token volume would blow the per-core cache working set
+    # (measured: 4096-token docs ran 2.3x slower than 256-token docs at
+    # the same tokens/s budget).  Sub-batch by TOKEN budget so the
+    # kernel working set is constant regardless of document length.
+    token_budget = int(os.environ.get("SPARK_GRAFT_TOKEN_BUDGET", "200000"))
+
+    def _sub_batches(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        ntok = pdf[tokens_col].map(len).to_numpy()
+        if ntok.sum() <= token_budget:
+            yield pdf
+            return
+        cum = np.cumsum(ntok)
+        start = 0
+        base = 0
+        for i in range(len(pdf)):
+            if cum[i] - base > token_budget and i > start:
+                yield pdf.iloc[start:i]
+                start = i
+                base = cum[i - 1]
+        if start < len(pdf):
+            yield pdf.iloc[start:]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+        for full_pdf in batches:
+            if len(full_pdf) == 0:
                 continue
+            yield from _run_one(full_pdf)
+
+    def _run_one(full_pdf):
+        for pdf in _sub_batches(full_pdf):
             values, offsets = flatten_lists(pdf[tokens_col])
             if cast_scale is not None:
                 values *= cast_scale
