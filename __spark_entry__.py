@@ -2624,6 +2624,59 @@ GROUP BY doc_id
 """
 
 
+def q_iss_generic_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-word slow path (letters.py:96-206 / semiring.py:54-75):
+    word [ABS(1)][DIM(1)] over centered tokens z = x-50 — END =
+    sum_(i<j) |z_i| * z_j.  Runs the LETTERS-registry kernel
+    (iss_generic) over length-bucketed batches."""
+    import pandas as pd
+
+    toks = token_table(spark, sf_dir)
+    schema = "doc_id long, gen_abs_end long"
+
+    def run(batches):
+        import numpy as np
+
+        from fruits_spark.kernels.iss import iss_generic
+
+        word = [[("ABS", 0)], [("DIM", 0)]]
+        for pdf in batches:
+            rows = [np.asarray(t, dtype=np.float64) - 50.0
+                    for t in pdf["tokens"]]
+            out = np.zeros(len(rows))
+            lengths = np.fromiter((len(r) for r in rows), dtype=np.int64,
+                                  count=len(rows))
+            for ln in np.unique(lengths):
+                idx = np.nonzero(lengths == ln)[0]
+                Z = np.stack([rows[i] for i in idx])[:, np.newaxis, :]
+                out[idx] = iss_generic(Z, word)[:, 0, -1]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "gen_abs_end": out.astype("int64")}
+            )
+
+    return toks.mapInPandas(run, schema)
+
+
+SQL_ISS_GENERIC_ABS = f"""
+WITH {SQL_TOKS},
+z AS (
+    SELECT doc_id, pos, x - 50 AS zv, ABS(x - 50) AS az
+    FROM toks
+),
+r AS (
+    SELECT doc_id, zv, az,
+           SUM(az) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runa
+    FROM z
+)
+SELECT doc_id,
+       CAST(SUM((runa - az) * zv) AS BIGINT) AS gen_abs_end
+FROM r
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2721,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "iss_weighted_custom": q_iss_weighted_custom,
         "iss_weighted_plateaus": q_iss_weighted_plateaus,
+        "iss_generic_abs": q_iss_generic_abs,
     }
 
 
@@ -2779,4 +2833,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "iss_weighted_custom": SQL_ISS_WEIGHTED_CUSTOM,
         "iss_weighted_plateaus": SQL_ISS_WEIGHTED_PLATEAUS,
+        "iss_generic_abs": SQL_ISS_GENERIC_ABS,
     }
