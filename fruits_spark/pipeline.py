@@ -76,15 +76,32 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.4,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
     Relational formulation: explode shingles, self-join on shingle to get
     intersection counts, derive union from per-doc set sizes.  Exact but
-    O(pairs-sharing-a-shingle) — the scale path is :func:`minhash_lsh`,
-    which bounds candidate generation; this is the verification oracle.
+    O(sum over shingles of freq^2) — a single stop-shingle appearing in
+    10^6 docs generates 10^12 candidate pairs.  ``max_shingle_freq``
+    drops shingles above that document frequency from CANDIDATE
+    GENERATION (the standard stop-shingle cut): recall-approximate
+    (pairs sharing only ultra-common shingles are missed; reported
+    similarities for surviving pairs also ignore those shingles), which
+    is the correct trade at corpus scale — the dropped shingles carry no
+    near-dup signal.  The fully exact form (None) remains the
+    verification oracle; :func:`minhash_lsh` is the other scale path.
     """
     sh = shingle_df(docs, text_col, n)
+    if max_shingle_freq is not None:
+        from pyspark.sql import Window
+
+        freq = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(freq))
+            .where(F.col("_df") <= max_shingle_freq)
+            .drop("_df")
+        )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -139,3 +139,77 @@ def test_simhash_matches_python_reference(spark):
         if s > 0:
             want += 1 << bit
     assert got == want
+
+
+def _xxh64_longs(vals, seed: int = 42) -> int:
+    """Spark xxhash64 over LongType columns: 8-byte LE chaining."""
+    h = seed
+    for v in vals:
+        h = xxh64(int(v).to_bytes(8, "little", signed=True), h)
+    return _signed(h)
+
+
+def test_minhash_banding_matches_python_reference(spark):
+    from fruits_spark.pipeline import minhash_lsh_candidates
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog today",
+        "pack my box with five dozen liquor jugs right now",
+        "completely different words that share nothing at all here",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           minhash_lsh_candidates(docs, n_hashes=8, bands=4).collect()}
+
+    # python recomputation on the XXH64 reference
+    def sig(text, k):
+        ws = text.lower().split(" ")
+        shingles = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        return min(xxhash64_spark(s, k) for s in shingles)
+
+    bands = {}
+    rows = 8 // 4
+    for d, t in enumerate(texts):
+        s = [sig(t, k) for k in range(8)]
+        for b in range(4):
+            key = (b, _xxh64_longs(s[b * rows:(b + 1) * rows]))
+            bands.setdefault(key, []).append(d)
+    want = set()
+    for key, ds in bands.items():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                want.add((ds[i], ds[j]))
+    assert got == want
+    assert (0, 1) in want, "near-identical docs must be candidates"
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    from fruits_spark.pipeline import jaccard_pairs
+
+    # every doc shares the stop shingle "a b c"; only 0/1 truly overlap
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g x",
+        "a b c q r s t u",
+        "a b c v w y z k",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             jaccard_pairs(docs, threshold=0.05).collect()}
+    # generous cap keeps everything -> identical to exact
+    capped_hi = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+                 jaccard_pairs(docs, threshold=0.05,
+                               max_shingle_freq=10).collect()}
+    assert exact == capped_hi
+    # cap=2 drops the 4-doc stop shingle; only genuine overlap survives
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              jaccard_pairs(docs, threshold=0.05,
+                            max_shingle_freq=2).collect()}
+    assert (0, 1) in capped
+    assert all(p in exact for p in capped)
+    assert len(capped) < len(exact)
