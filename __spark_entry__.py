@@ -436,7 +436,14 @@ def q_prep_nrm_ppv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 iss=ISSSpec((W("[1]"),)),
                 sieves=(
                     Sieve("end"),
-                    Sieve("ppv", {"quantiles": [5.0], "constant": [True]}),
+                    # threshold deliberately NOT a reachable rational of
+                    # the normalized sums: run1 values are sums of
+                    # small-denominator fractions and can land exactly
+                    # ON a round threshold, where the flat path's
+                    # documented ~1-ulp carry drift vs per-row cumsum
+                    # flips the comparison (seen at sf0.1 with 5.0)
+                    Sieve("ppv", {"quantiles": [4.7500001],
+                                  "constant": [True]}),
                 ),
             ),
         )
@@ -468,7 +475,7 @@ r AS (
 )
 SELECT doc_id,
        ROUND(MAX(CASE WHEN pos = n_tok - 1 THEN run1 END), 6) AS nrm_sum_r6,
-       ROUND(CAST(SUM(CASE WHEN run1 >= 5.0 THEN 1 ELSE 0 END) AS DOUBLE)
+       ROUND(CAST(SUM(CASE WHEN run1 >= 4.7500001 THEN 1 ELSE 0 END) AS DOUBLE)
              / MAX(n_tok), 6) AS nrm_ppv5_r6
 FROM r
 GROUP BY doc_id
