@@ -688,9 +688,15 @@ def extract_features(
                 if cast_scale is not None:
                     Z *= cast_scale
                 feats[idxs] = compute_features_block(Z, fplan)
-            out = pdf[list(keep)].reset_index(drop=True)
-            for i, c in enumerate(fcols):
-                out[c] = feats[:, i]
+            # single-block frame (no per-column inserts: pandas
+            # fragmentation warning + O(cols) block copies on wide plans)
+            out = pd.concat(
+                [
+                    pdf[list(keep)].reset_index(drop=True),
+                    pd.DataFrame(feats, columns=fcols, copy=False),
+                ],
+                axis=1,
+            )
             yield out
 
     if multivariate:
@@ -750,9 +756,15 @@ def extract_features(
                     ).ravel()
                     Z = values[gather].reshape(len(rows), 1, int(ln))
                     feats[rows] = compute_features_block(Z, fplan)
-            out = pdf[list(keep)].reset_index(drop=True)
-            for i, c in enumerate(fcols):
-                out[c] = feats[:, i]
+            # single-block frame (no per-column inserts: pandas
+            # fragmentation warning + O(cols) block copies on wide plans)
+            out = pd.concat(
+                [
+                    pdf[list(keep)].reset_index(drop=True),
+                    pd.DataFrame(feats, columns=fcols, copy=False),
+                ],
+                axis=1,
+            )
             yield out
 
     return df.select(*keep, tokens_col).mapInPandas(run, out_schema)
