@@ -1,11 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship ISS rollup pipeline on sf0.001.
-``queries()`` exposes one callable per implemented operator family from
-SURVEY.md §2 (ISS semirings, EXTENDED prefix CSE, preparateurs, sieves,
-coquantiles, weightings, tier rollup + salting + gap-fill, as-of join,
-dedup/similarity/text ops); ``oracle_sql()`` gives the DuckDB-runnable
-ANSI-SQL equivalent for every oracle-checkable query.
+``queries()`` exposes 55 callables covering every operator family from
+SURVEY.md §2 (all ISS semirings incl. arctic-argmax and bayesian,
+EXTENDED prefix CSE, chained ISS, CosWISS, every preparateur, every
+sieve incl. INC/INT wrappers and the AVG->CUR quirk, all weightings,
+generic-letter words, multivariate tensors, coquantiles, tier rollups
+batch/salted/streaming, gap-fill, forward-fill, as-of join, codec
+roundtrip, dedup exact/jaccard/minhash-LSH/simhash/embedding-LSH, ANN
+brute+top-k, text stats / lang-id / fingerprint, multimodal binary
+stubs); ``oracle_sql()`` gives the DuckDB-runnable ANSI-SQL equivalent
+for the 53 value-checkable ones (minhash/simhash are xxhash64-based and
+rows-only here, but pinned by a from-spec pure-Python XXH64 reference
+in tests/test_hash_reference.py).  The full map: COVERAGE.md.
 
 Determinism/exactness strategy for the oracle comparison:
   * the token table is DERIVED deterministically from ``documents`` with
