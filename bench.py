@@ -296,24 +296,39 @@ def main() -> None:
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
         n_big = 4 * n_small
-        # INTERLEAVE the two configs: neighbor-steal on this shared host
-        # drifts over minutes, so back-to-back (small, big) pairs see
-        # correlated load and the min-ratio cancels it; sequential
-        # blocks recorded efficiencies from 0.76 to 1.02 on identical
-        # code
+        # bigger input for the probe: a 2-second job is mostly fixed
+        # cost; 4x the docs pushes local[n_small] to ~30 s where the
+        # measured ratio reflects the kernels (the 10x dataset measured
+        # 0.96 with this protocol — BENCH.md)
+        scale_docs = int(os.environ.get(
+            "SPARK_GRAFT_SCALE_DOCS", str(4 * n_docs)))
+        scale_path = f"/tmp/fruits_bench/tokens_{scale_docs}"
+        # INTERLEAVED PAIRS + median of per-pair ratios: neighbor steal
+        # drifts over minutes; a back-to-back (small, big) pair shares
+        # one load window, so its ratio is unbiased, while min-of-each-
+        # config decouples the windows again (observed 0.58-1.02 from
+        # per-config mins on identical code)
+        pairs = []
         t_small = float("inf")
         t_big = float("inf")
         for _ in range(reps):
-            t_small = min(t_small, run_at(n_small, n_docs, tok_path))
-            t_big = min(t_big, run_at(n_big, n_docs, tok_path))
-        eff = (t_small / t_big) / 4.0
+            ts = run_at(n_small, scale_docs, scale_path)
+            tb = run_at(n_big, scale_docs, scale_path)
+            pairs.append(ts / tb)
+            t_small = min(t_small, ts)
+            t_big = min(t_big, tb)
+        pairs.sort()
+        eff = pairs[len(pairs) // 2] / 4.0
+        scale_tokens = total_tokens * scale_docs / n_docs
         result["scaling"] = {
+            "n_docs": scale_docs,
             f"local{n_small}_sec": round(t_small, 3),
             f"local{n_big}_sec": round(t_big, 3),
-            f"tokens_per_sec_{n_small}": round(total_tokens / t_small),
-            f"tokens_per_sec_{n_big}": round(total_tokens / t_big),
+            f"tokens_per_sec_{n_small}": round(scale_tokens / t_small),
+            f"tokens_per_sec_{n_big}": round(scale_tokens / t_big),
             "n_small": n_small,
             "n_big": n_big,
+            "pair_ratios": [round(r, 2) for r in pairs],
             "efficiency": round(eff, 3),
         }
 
