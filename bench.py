@@ -14,7 +14,8 @@ ISS output stream elements = tokens x n_streams (reference definition,
 iss/iss.py:46).
 
 Scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors):
-re-runs the same job at local[8] and local[32] on identical input unless
+re-runs the extraction job at local[2] and local[8] on 4x-size input as
+interleaved pairs (median of per-pair ratios) unless
 SPARK_GRAFT_SCALING=0.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
