@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship ISS rollup pipeline on sf0.001.
-``queries()`` exposes 55 callables covering every operator family from
+``queries()`` exposes 56 callables covering every operator family from
 SURVEY.md §2 (all ISS semirings incl. arctic-argmax and bayesian,
 EXTENDED prefix CSE, chained ISS, CosWISS, every preparateur, every
 sieve incl. INC/INT wrappers and the AVG->CUR quirk, all weightings,
@@ -10,7 +10,7 @@ batch/salted/streaming, gap-fill, forward-fill, as-of join, codec
 roundtrip, dedup exact/jaccard/minhash-LSH/simhash/embedding-LSH, ANN
 brute+top-k, text stats / lang-id / fingerprint, multimodal binary
 stubs); ``oracle_sql()`` gives the DuckDB-runnable ANSI-SQL equivalent
-for the 53 value-checkable ones (minhash/simhash are xxhash64-based and
+for the 54 value-checkable ones (minhash/simhash are xxhash64-based and
 rows-only here, but pinned by a from-spec pure-Python XXH64 reference
 in tests/test_hash_reference.py).  The full map: COVERAGE.md.
 
@@ -2691,6 +2691,72 @@ GROUP BY doc_id
 """
 
 
+def q_codec_tier_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-level codec path: rollup cells -> chunked Gorilla/DoD blobs
+    (encode_streams, chunk=16) -> decode -> per-source totals.  The
+    oracle recomputes the totals straight from the raw tokens, so any
+    bit error in pack/unpack or chunk reassembly fails the match."""
+    import pandas as pd
+    from fruits_spark.engine import rollup as RU
+    from fruits_spark.engine.codec_udf import encode_streams
+    from fruits_spark.engine.executor import extract_features, feature_columns
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    fplan = FruitPlan(
+        (Slice(iss=ISSSpec((W("[1]"),)), sieves=(Sieve("end"),)),)
+    )
+    fc = feature_columns(fplan)
+    toks = token_table(spark, sf_dir)
+    feats = extract_features(toks, fplan)
+    rolled = RU.rollup_tier(
+        feats, RU.Tier("t1k", 1000), 64, fc,
+        bucket_expr=(F.col("doc_id") % 64).cast("int"),
+    )
+    enc = encode_streams(rolled, f"sum_{fc[0]}", chunk=16)
+    schema = "source string, n_cells long, gorilla_sum long, bucket_sum long"
+
+    def dec(batches):
+        import numpy as np
+
+        from fruits_spark.kernels.codec import dod_decode, gorilla_decode
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                vals = gorilla_decode(bytes(r["gorilla_blob"]), r["n"])
+                bks = dod_decode(bytes(r["dod_blob"]), r["n"])
+                rows.append((r["source"], int(r["n"]),
+                             int(vals.sum()), int(bks.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["source", "n_cells", "gorilla_sum", "bucket_sum"],
+            )
+
+    per_chunk = enc.mapInPandas(dec, schema)
+    return per_chunk.groupBy("source").agg(
+        F.sum("n_cells").cast("long").alias("n_cells"),
+        F.sum("gorilla_sum").cast("long").alias("gorilla_sum"),
+        F.sum("bucket_sum").cast("long").alias("bucket_sum"),
+    )
+
+
+SQL_CODEC_TIER_ROUNDTRIP = f"""
+WITH {SQL_TOKS},
+cells AS (
+    SELECT source, doc_id % 64 AS bucket, SUM(x) AS cell_sum
+    FROM toks
+    GROUP BY source, doc_id % 64
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cell_sum) AS BIGINT) AS gorilla_sum,
+       CAST(SUM(bucket) AS BIGINT) AS bucket_sum
+FROM cells
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2789,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iss_weighted_custom": q_iss_weighted_custom,
         "iss_weighted_plateaus": q_iss_weighted_plateaus,
         "iss_generic_abs": q_iss_generic_abs,
+        "codec_tier_roundtrip": q_codec_tier_roundtrip,
     }
 
 
@@ -2848,4 +2915,5 @@ def oracle_sql() -> dict[str, str]:
         "iss_weighted_custom": SQL_ISS_WEIGHTED_CUSTOM,
         "iss_weighted_plateaus": SQL_ISS_WEIGHTED_PLATEAUS,
         "iss_generic_abs": SQL_ISS_GENERIC_ABS,
+        "codec_tier_roundtrip": SQL_CODEC_TIER_ROUNDTRIP,
     }
