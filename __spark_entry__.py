@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship ISS rollup pipeline on sf0.001.
-``queries()`` exposes 56 callables covering every operator family from
+``queries()`` exposes 57 callables covering every operator family from
 SURVEY.md §2 (all ISS semirings incl. arctic-argmax and bayesian,
 EXTENDED prefix CSE, chained ISS, CosWISS, every preparateur, every
 sieve incl. INC/INT wrappers and the AVG->CUR quirk, all weightings,
@@ -10,7 +10,7 @@ batch/salted/streaming, gap-fill, forward-fill, as-of join, codec
 roundtrip, dedup exact/jaccard/minhash-LSH/simhash/embedding-LSH, ANN
 brute+top-k, text stats / lang-id / fingerprint, multimodal binary
 stubs); ``oracle_sql()`` gives the DuckDB-runnable ANSI-SQL equivalent
-for the 54 value-checkable ones (minhash/simhash are xxhash64-based and
+for the 55 value-checkable ones (minhash/simhash are xxhash64-based and
 rows-only here, but pinned by a from-spec pure-Python XXH64 reference
 in tests/test_hash_reference.py).  The full map: COVERAGE.md.
 
@@ -2757,6 +2757,56 @@ GROUP BY source
 """
 
 
+def q_prep_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter variants not covered elsewhere: DOT with explicit
+    ``first`` (filter.py:123-194), QTC lower clip (transform.py:1004),
+    CTS pseudo_shift (transform.py:936-940)."""
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                preps=(Prep("dot", {"n": 4, "first": 1}),),
+                iss=ISSSpec((W("[11]"),)),
+                sieves=(Sieve("end"),),
+            ),
+            Slice(
+                preps=(Prep("qtc", {"q_value": 25.0, "lower": True}),),
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(Sieve("end"),),
+            ),
+            Slice(
+                preps=(Prep("cts", {"s": 3, "pseudo_shift": True}),),
+                iss=ISSSpec((W("[1]"),)),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.col(fc[0]).cast("long").alias("dot_first_end"),
+        F.col(fc[1]).cast("long").alias("qtc_lower_end"),
+        F.col(fc[2]).cast("long").alias("cts_pseudo_end"),
+    )
+
+
+SQL_PREP_VARIANTS = f"""
+WITH {SQL_TOKS}
+SELECT doc_id,
+       CAST(SUM(CASE WHEN pos % 4 = 1 THEN x * x ELSE 0 END) AS BIGINT)
+           AS dot_first_end,
+       CAST(SUM(GREATEST(x, 25)) AS BIGINT) AS qtc_lower_end,
+       CAST(SUM(CASE WHEN pos < n_tok - 3 THEN x ELSE 0 END) AS BIGINT)
+           AS cts_pseudo_end
+FROM toks
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2856,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iss_weighted_plateaus": q_iss_weighted_plateaus,
         "iss_generic_abs": q_iss_generic_abs,
         "codec_tier_roundtrip": q_codec_tier_roundtrip,
+        "prep_variants": q_prep_variants,
     }
 
 
@@ -2916,4 +2967,5 @@ def oracle_sql() -> dict[str, str]:
         "iss_weighted_plateaus": SQL_ISS_WEIGHTED_PLATEAUS,
         "iss_generic_abs": SQL_ISS_GENERIC_ABS,
         "codec_tier_roundtrip": SQL_CODEC_TIER_ROUNDTRIP,
+        "prep_variants": SQL_PREP_VARIANTS,
     }
