@@ -628,6 +628,28 @@ def feature_columns(fplan: Pl.FruitPlan) -> list[str]:
     return [_sanitize(lb, i) for i, lb in enumerate(fplan.feature_labels())]
 
 
+class ExtractStats:
+    """Distributed observability for an extraction job — the engine's
+    analogue of the reference's ``AbstractCallback`` observers
+    (callback.py:6-41).  The reference's hooks fire per in-process
+    array; here the arrays live in executor Python workers, so the
+    counters are Spark accumulators incremented per Arrow (sub-)batch
+    and read on the driver after the action completes."""
+
+    def __init__(self, spark) -> None:
+        sc = spark.sparkContext
+        self.batches = sc.accumulator(0)
+        self.rows = sc.accumulator(0)
+        self.tokens = sc.accumulator(0)
+
+    def as_dict(self) -> dict:
+        return {
+            "batches": self.batches.value,
+            "rows": self.rows.value,
+            "tokens": self.tokens.value,
+        }
+
+
 def extract_features(
     df: DataFrame,
     fplan: Pl.FruitPlan,
@@ -635,6 +657,7 @@ def extract_features(
     keep: tuple[str, ...] = ("doc_id", "source", "n_tok"),
     cast_scale: float | None = None,
     multivariate: bool = False,
+    stats: "ExtractStats | None" = None,
 ) -> DataFrame:
     """Token table -> per-doc feature table (one mapInPandas, no shuffle).
 
@@ -736,6 +759,10 @@ def extract_features(
     def _run_one(full_pdf):
         for pdf in _sub_batches(full_pdf):
             values, offsets = flatten_lists(pdf[tokens_col])
+            if stats is not None:
+                stats.batches.add(1)
+                stats.rows.add(len(pdf))
+                stats.tokens.add(int(offsets[-1]))
             if cast_scale is not None:
                 values *= cast_scale
             if flat and use_padded and not _has_cos:

@@ -237,3 +237,16 @@ def test_codec_chunked_blocks_reassemble(spark, token_df):
             np.concatenate(bks),
             np.sort(raw[raw["source"] == src]["bucket"].to_numpy()),
         )
+
+
+def test_extract_stats_accumulators(spark, token_df):
+    # distributed observability (reference AbstractCallback analogue):
+    # accumulator totals equal the dataset's row/token counts
+    from fruits_spark.engine.executor import ExtractStats
+
+    st = EX.ExtractStats(spark)
+    EX.extract_features(token_df, PLAN, stats=st).count()
+    d = st.as_dict()
+    assert d["rows"] == token_df.count()
+    assert d["tokens"] == token_df.selectExpr("sum(n_tok)").collect()[0][0]
+    assert d["batches"] >= 1
