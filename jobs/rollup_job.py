@@ -94,6 +94,7 @@ def main() -> None:
         (RU.Tier("t100k", 100_000), max(args.buckets_t1k // 100, 4)),
     )
     for tier, nb in tiers:
+        t_tier = time.time()
         rolled = RU.rollup_tier_salted(
             feats, tier, nb, fc, n_salts=args.salts
         )
@@ -114,6 +115,7 @@ def main() -> None:
         metrics[f"{tier.name}_cells_committed"] = n
         enc = encode_streams(filled, f"sum_{fc[0]}")
         IO.write_tier(enc, args.output, f"codec_{tier.name}", args.run_id)
+        metrics[f"{tier.name}_sec"] = round(time.time() - t_tier, 2)
 
     if args.retire_runs:
         for tier, _ in tiers:
@@ -126,6 +128,12 @@ def main() -> None:
     for row in m:
         metrics[f"{row['tier']}_docs"] = int(row["docs"] or 0)
         metrics[f"{row['tier']}_tokens"] = int(row["tokens"] or 0)
+        # the north metric: rolled-up ISS points/s for this tier
+        sec = metrics.get(f"{row['tier']}_sec")
+        if sec:
+            metrics[f"{row['tier']}_points_per_sec"] = round(
+                int(row["tokens"] or 0) * n_streams / sec
+            )
     metrics["wall_sec"] = round(time.time() - t_start, 2)
     print(json.dumps(metrics))
     spark.stop()
