@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship ISS rollup pipeline on sf0.001.
-``queries()`` exposes 57 callables covering every operator family from
+``queries()`` exposes 58 callables covering every operator family from
 SURVEY.md §2 (all ISS semirings incl. arctic-argmax and bayesian,
 EXTENDED prefix CSE, chained ISS, CosWISS, every preparateur, every
 sieve incl. INC/INT wrappers and the AVG->CUR quirk, all weightings,
@@ -10,7 +10,7 @@ batch/salted/streaming, gap-fill, forward-fill, as-of join, codec
 roundtrip, dedup exact/jaccard/minhash-LSH/simhash/embedding-LSH, ANN
 brute+top-k, text stats / lang-id / fingerprint, multimodal binary
 stubs); ``oracle_sql()`` gives the DuckDB-runnable ANSI-SQL equivalent
-for the 55 value-checkable ones (minhash/simhash are xxhash64-based and
+for the 56 value-checkable ones (minhash/simhash are xxhash64-based and
 rows-only here, but pinned by a from-spec pure-Python XXH64 reference
 in tests/test_hash_reference.py).  The full map: COVERAGE.md.
 
@@ -2807,6 +2807,52 @@ GROUP BY doc_id
 """
 
 
+def q_iss_arctic_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arctic word with a NEGATIVE letter — [1][(-1)] (the
+    alternate_sign construction, creation.py:53-83): in max-plus the
+    -1 exponent subtracts, so END = max_(i<=j)(x_i - x_j) = the series'
+    maximum drawdown.  Also [(-1)][1] = maximum run-up."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec(
+                    (W("[1][(-1)]"), W("[(-1)][1]")), semiring="arctic"
+                ),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    out = _iss_features(spark, sf_dir, fplan)
+    return out.select(
+        "doc_id",
+        F.col(fc[0]).cast("long").alias("max_drawdown"),
+        F.col(fc[1]).cast("long").alias("max_runup"),
+    )
+
+
+SQL_ISS_ARCTIC_DRAWDOWN = f"""
+WITH {SQL_TOKS},
+r AS (
+    SELECT doc_id, pos, x,
+           MAX(x) OVER w AS rmax,
+           MIN(x) OVER w AS rmin
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id,
+       CAST(MAX(rmax - x) AS BIGINT) AS max_drawdown,
+       CAST(MAX(x - rmin) AS BIGINT) AS max_runup
+FROM r
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2907,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iss_generic_abs": q_iss_generic_abs,
         "codec_tier_roundtrip": q_codec_tier_roundtrip,
         "prep_variants": q_prep_variants,
+        "iss_arctic_drawdown": q_iss_arctic_drawdown,
     }
 
 
@@ -2968,4 +3015,5 @@ def oracle_sql() -> dict[str, str]:
         "iss_generic_abs": SQL_ISS_GENERIC_ABS,
         "codec_tier_roundtrip": SQL_CODEC_TIER_ROUNDTRIP,
         "prep_variants": SQL_PREP_VARIANTS,
+        "iss_arctic_drawdown": SQL_ISS_ARCTIC_DRAWDOWN,
     }
