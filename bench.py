@@ -4,7 +4,9 @@ Prints ONE JSON line:
   {"metric": "iss_rollup_pipeline", "value": <headline sec>, "unit": "sec",
    "queries": {...per-stage/per-query sec...}, "sf": <sf>,
    "tokens_per_sec": ..., "points_per_sec": ...,
-   "scaling": {"local8_sec": ..., "local32_sec": ..., "efficiency": ...}}
+   "tier_points_per_sec": {"raw_scan": ..., "t1k": ..., "t100k": ...},
+   "scaling": {"n_docs": ..., "local2_sec": ..., "local8_sec": ...,
+               "pair_ratios": [...], "efficiency": ...}}
 
 Headline job (the north-rule workload): deterministic token table at a
 scale tied to sf (sf0.1 -> 100k docs, ~26M tokens) -> EXTENDED

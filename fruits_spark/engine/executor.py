@@ -634,7 +634,13 @@ class ExtractStats:
     (callback.py:6-41).  The reference's hooks fire per in-process
     array; here the arrays live in executor Python workers, so the
     counters are Spark accumulators incremented per Arrow (sub-)batch
-    and read on the driver after the action completes."""
+    and read on the driver after the action completes.
+
+    Accumulators in a TRANSFORMATION count every computation: task
+    retries, speculative execution, or a second action on an uncached
+    DataFrame inflate the totals — progress observability, not an exact
+    audit (cache the result or read after exactly one action for exact
+    counts)."""
 
     def __init__(self, spark) -> None:
         sc = spark.sparkContext
@@ -695,6 +701,10 @@ def extract_features(
                 (len(r[0]) if len(r) else 0 for r in rows),
                 dtype=np.int64, count=len(rows),
             )
+            if stats is not None:
+                stats.batches.add(1)
+                stats.rows.add(len(pdf))
+                stats.tokens.add(int(lengths.sum()))
             feats = np.zeros((len(rows), fplan.n_features()), dtype=np.float64)
             for ln in np.unique(lengths):
                 idxs = np.nonzero(lengths == ln)[0]

@@ -60,10 +60,10 @@ def write_tier(
         ident = f"{cat}.{_table_ident(table)}"
         out = df.withColumn("run_id", F.lit(run_id))
         if spark_table_exists(df.sparkSession, ident):
-            df.sparkSession.sql(
-                f"DELETE FROM {ident} WHERE run_id = '{run_id}'"
-            )
-            out.writeTo(ident).append()
+            # conditional overwrite = ONE Iceberg snapshot (atomic
+            # replace-where); a DELETE-then-append pair could lose the
+            # run if the job died between the two commits
+            out.writeTo(ident).overwrite(F.col("run_id") == run_id)
         else:
             out.writeTo(ident).partitionedBy(
                 *[F.col(c) for c in partition_cols]
@@ -93,7 +93,8 @@ def drop_retired_partitions(
     cat = _catalog()
     if cat:
         ident = f"{cat}.{_table_ident(table)}"
-        ids = ", ".join(f"'{r}'" for r in run_ids)
+        # escape quotes: run ids come straight from the CLI
+        ids = ", ".join("'" + r.replace("'", "''") + "'" for r in run_ids)
         spark.sql(f"DELETE FROM {ident} WHERE run_id IN ({ids})")
         return
     import shutil

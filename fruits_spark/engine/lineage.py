@@ -94,3 +94,34 @@ def run_metrics(spark: SparkSession, base: str, run_id: str) -> DataFrame:
             F.sum("n_points").alias("points"),
         )
     )
+
+
+def retire_runs(
+    spark: SparkSession, base: str, tiers: list[str], run_ids: list[str]
+) -> None:
+    """Retention for the TIER DATA and the manifest: remove each retired
+    run's ``tier=<t>/run=<id>`` directory and rewrite the manifest
+    without its rows (codec blobs are retired separately through
+    :mod:`fruits_spark.engine.io`).  Manifest rewrite is write-new-then-
+    swap so a crash mid-retire leaves the old manifest intact."""
+    import shutil
+
+    for t in tiers:
+        for r in run_ids:
+            p = os.path.join(base, f"tier={t}", f"run={r}")
+            if os.path.exists(p):
+                shutil.rmtree(p)
+    path = manifest_path(base)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return
+    kept = m.where(~F.col("run_id").isin(run_ids))
+    tmp = path + "_retiring"
+    kept.write.mode("overwrite").parquet(tmp)
+    old = path + "_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

@@ -94,14 +94,17 @@ def jaccard_pairs(
     """
     sh = shingle_df(docs, text_col, n)
     if max_shingle_freq is not None:
-        from pyspark.sql import Window
-
-        freq = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(freq))
-            .where(F.col("_df") <= max_shingle_freq)
-            .drop("_df")
+        # over-cap shingles via groupBy (map-side partial agg — no
+        # single-task window hotspot on exactly the hot shingles this
+        # cap exists to drop), then a broadcast anti-join: the over-cap
+        # set is tiny by construction
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_shingle_freq)
+            .select("shingle")
         )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -118,11 +118,16 @@ def main() -> None:
         metrics[f"{tier.name}_sec"] = round(time.time() - t_tier, 2)
 
     if args.retire_runs:
+        retired = args.retire_runs.split(",")
+        # retention covers ALL of a run's on-disk state: codec blobs,
+        # the (much larger) tier cell data, and its manifest rows
         for tier, _ in tiers:
             IO.drop_retired_partitions(
-                spark, args.output, f"codec_{tier.name}",
-                args.retire_runs.split(","),
+                spark, args.output, f"codec_{tier.name}", retired
             )
+        LI.retire_runs(
+            spark, args.output, [t.name for t, _ in tiers], retired
+        )
 
     m = LI.run_metrics(spark, args.output, args.run_id).collect()
     for row in m:
