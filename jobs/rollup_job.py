@@ -4,7 +4,13 @@ Usage (cluster):
     python tools/make_pyfiles.py   # -> dist/fruits_spark.zip
     spark-submit --py-files dist/fruits_spark.zip jobs/rollup_job.py \\
         --input /data/tokens_parquet --output /data/tiers \\
-        --run-id 2026-08-16 [--resume] [--n-docs-synth 100000]
+        --run-id 2026-08-16 [--resume] [--retire-runs r1,r2] \\
+        [--n-docs-synth 100000]
+
+    NOTE: under spark-submit the JVM starts before Python, so
+    build_session's driver-memory default cannot apply — pass
+    ``--driver-memory 8g`` (16g for >=10^6 docs per executor) on the
+    spark-submit command line.
 
 Reads the token table ``(doc_id, tokens, n_tok, source)``, extracts the
 flagship ISS feature set, materializes the t1k and t100k continuous-
