@@ -322,7 +322,18 @@ def main() -> None:
             t_big = min(t_big, tb)
         pairs.sort()
         eff = pairs[len(pairs) // 2] / 4.0
-        scale_tokens = total_tokens * scale_docs / n_docs
+        # measured token sum of the ACTUAL probe dataset (one columnar
+        # scan of the already-materialized parquet) — a linear
+        # extrapolation from the headline set drifts when tokens-per-doc
+        # isn't exactly linear in n_docs
+        import pyarrow.dataset as pads
+
+        scale_tokens = 0
+        for batch in pads.dataset(scale_path).to_batches(columns=["n_tok"]):
+            s = batch.column(0).cast("int64")
+            import pyarrow.compute as pc
+
+            scale_tokens += int(pc.sum(s).as_py() or 0)
         result["scaling"] = {
             "n_docs": scale_docs,
             f"local{n_small}_sec": round(t_small, 3),

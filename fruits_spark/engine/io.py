@@ -77,10 +77,15 @@ def write_tier(
 
 
 def spark_table_exists(spark: SparkSession, ident: str) -> bool:
+    """True iff the catalog resolves ``ident``.  Only analysis errors
+    (missing table) map to False — a transient catalog/connection error
+    propagates instead of silently routing the caller to a create()
+    that would then fail with a misleading 'table already exists'."""
+    from pyspark.errors import AnalysisException
+
     try:
-        spark.read.table(ident)
-        return True
-    except Exception:
+        return spark.catalog.tableExists(ident)
+    except AnalysisException:
         return False
 
 

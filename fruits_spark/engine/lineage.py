@@ -32,8 +32,35 @@ def manifest_path(base: str) -> str:
     return os.path.join(base, "_lineage")
 
 
+def recover_manifest(base: str) -> None:
+    """Crash recovery for the retire swap (see :func:`retire_runs`):
+    if the manifest directory is missing but a committed ``_retiring``
+    (the fully-written new manifest) or ``_old`` (the pre-retire one)
+    exists, restore it — a crash between the two renames must never
+    leave readers with an empty lineage.  Called before every manifest
+    read; a no-op in the healthy state."""
+    import shutil
+
+    path = manifest_path(base)
+    tmp, old = path + "_retiring", path + "_old"
+    if not os.path.exists(path):
+        if os.path.exists(tmp):
+            # new manifest was fully written: promote it
+            os.rename(tmp, path)
+        elif os.path.exists(old):
+            # crashed before the new manifest was ready: roll back
+            os.rename(old, path)
+        else:
+            return
+    # manifest present (or just restored): clear leftover swap debris
+    for p in (tmp, old):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+
 def completed_cells(spark: SparkSession, base: str, run_id: str, tier: str) -> DataFrame:
     """Cells already committed for (run_id, tier); empty DF if no manifest."""
+    recover_manifest(base)
     path = manifest_path(base)
     try:
         m = spark.read.parquet(path)
@@ -83,6 +110,7 @@ def commit_cells(
 
 def run_metrics(spark: SparkSession, base: str, run_id: str) -> DataFrame:
     """Aggregate manifest metrics per tier for a run."""
+    recover_manifest(base)
     m = spark.read.parquet(manifest_path(base))
     return (
         m.where(F.col("run_id") == run_id)
@@ -103,9 +131,12 @@ def retire_runs(
     run's ``tier=<t>/run=<id>`` directory and rewrite the manifest
     without its rows (codec blobs are retired separately through
     :mod:`fruits_spark.engine.io`).  Manifest rewrite is write-new-then-
-    swap so a crash mid-retire leaves the old manifest intact."""
+    swap; a crash between the two renames is healed by
+    :func:`recover_manifest` on the next read (the ``_retiring`` copy is
+    complete before the live manifest is ever moved aside)."""
     import shutil
 
+    recover_manifest(base)
     for t in tiers:
         for r in run_ids:
             p = os.path.join(base, f"tier={t}", f"run={r}")

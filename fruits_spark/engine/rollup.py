@@ -94,13 +94,38 @@ def reagg_exprs(feature_cols: list[str]) -> list[str]:
     return aggs
 
 
+_VIEW_SEQ = 0
+
+
 def _sql_agg(df: DataFrame, keys: list[str], aggs: list[str]) -> DataFrame:
-    name = f"_rollup_in_{abs(hash(tuple(aggs))) % 10**8}"
+    # deterministic per-session counter (a Python hash() here would vary
+    # with PYTHONHASHSEED across sessions); the view is dropped once the
+    # plan is captured — the returned DataFrame holds its own plan
+    global _VIEW_SEQ
+    _VIEW_SEQ += 1
+    name = f"_rollup_in_{_VIEW_SEQ}"
     df.createOrReplaceTempView(name)
-    return df.sparkSession.sql(
+    out = df.sparkSession.sql(
         f"SELECT {', '.join(keys)}, {', '.join(aggs)} FROM {name} "
         f"GROUP BY {', '.join(keys)}"
     )
+    # materialize the analyzed plan, then drop the view so repeated
+    # rollups don't accumulate catalog entries
+    out.schema
+    df.sparkSession.catalog.dropTempView(name)
+    return out
+
+
+def reagg_tier(
+    tier_cells: DataFrame,
+    feature_cols: list[str],
+    bucket_expr,
+) -> DataFrame:
+    """Coarser tier from finer tier cells: regroup on (source, coarse
+    bucket) with the algebraic :func:`reagg_exprs` — never touches raw
+    data, so a t100k refresh costs O(t1k cells), not O(docs)."""
+    df = tier_cells.withColumn("bucket", bucket_expr)
+    return _sql_agg(df, ["source", "bucket"], reagg_exprs(feature_cols))
 
 
 def rollup_tier_salted(

@@ -135,16 +135,61 @@ def jaccard_pairs(
     return out.select("doc_a", "doc_b", "n_common", "jaccard")
 
 
+# Portable seeded string hash, expressible identically in Spark SQL and
+# DuckDB SQL (the driver's oracle engine has no xxhash64): with
+# A = sum_i ascii(s_i) * i and B = sum_i ascii(s_i)  (i 1-based),
+#   h(s, k) = (48271*A + (k+1)*16807*B) mod (2^31 - 1).
+# All intermediates fit int64 without inner mods for texts < ~100k chars
+# (48271*A <= 48271*127*L^2/2), so both engines compute bit-identical
+# values.  Weaker than xxhash64 as a permutation, but it preserves the
+# property dedup relies on (equal shingle sets => equal signatures);
+# xxhash64 stays the production default.
+PORTABLE_MOD = 2147483647
+
+
+def _portable_ab(col: str) -> tuple:
+    A = F.expr(
+        f"aggregate(sequence(1, length({col})), 0L, "
+        f"(acc, i) -> acc + ascii(substring({col}, i, 1)) * i)"
+    )
+    B = F.expr(
+        f"aggregate(sequence(1, length({col})), 0L, "
+        f"(acc, i) -> acc + ascii(substring({col}, i, 1)))"
+    )
+    return A, B
+
+
+def _portable_hash(A, B, seed: int):
+    return (F.lit(48271) * A + F.lit((seed + 1) * 16807) * B) % F.lit(
+        PORTABLE_MOD
+    )
+
+
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", n: int = 3, n_hashes: int = 16
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signatures: min over shingles of xxhash64(shingle, seed_k).
-    One shuffle (groupBy doc); signature width is a constant."""
+    """MinHash signatures: min over shingles of hash(shingle, seed_k).
+    One shuffle (groupBy doc); signature width is a constant.
+    ``hash_fn='portable'`` switches to the SQL-expressible integer mix
+    (see PORTABLE_MOD note) so results can be oracle-checked in DuckDB;
+    the default stays xxhash64 for production hash quality."""
     sh = shingle_df(docs, text_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"mh{k}")
-        for k in range(n_hashes)
-    ]
+    if hash_fn == "portable":
+        A, B = _portable_ab("shingle")
+        sh = sh.withColumn("_a", A).withColumn("_b", B)
+        aggs = [
+            F.min(_portable_hash(F.col("_a"), F.col("_b"), k)).alias(f"mh{k}")
+            for k in range(n_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"mh{k}")
+            for k in range(n_hashes)
+        ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -154,18 +199,26 @@ def minhash_lsh_candidates(
     n: int = 3,
     n_hashes: int = 16,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the MinHash signature become
     candidate near-duplicate pairs.  Candidate generation is a self-join
     on (band_id, band_hash) buckets — no all-pairs blowup."""
     rows = n_hashes // bands
-    sig = minhash_signatures(docs, text_col, n, n_hashes)
+    sig = minhash_signatures(docs, text_col, n, n_hashes, hash_fn)
+    if hash_fn == "portable":
+        def _bhash(b):
+            acc = F.lit(0)
+            for r in range(rows):
+                acc = acc + F.col(f"mh{b * rows + r}") * F.lit((r + 1) * 48271)
+            return acc % F.lit(PORTABLE_MOD)
+    else:
+        def _bhash(b):
+            return F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"mh{b * rows + r}") for r in range(rows)]
-            ).alias("bhash"),
+            _bhash(b).alias("bhash"),
         )
         for b in range(bands)
     ]
@@ -185,18 +238,36 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """SimHash fingerprint: sign-sum of word-hash bits.
 
     For each of ``bits`` positions, the bit is 1 iff more word hashes
     have that bit set than not.  Expressed with aggregate() over the word
-    array — fully JVM-side."""
-    w = _words(text_col)
+    array — fully JVM-side.  ``hash_fn='portable'`` uses the
+    SQL-expressible 31-bit hash (bits must be <= 31) so the fingerprint
+    can be value-checked in DuckDB; xxhash64 is the production default."""
+    if hash_fn == "portable":
+        if bits > 31:
+            raise ValueError("portable hash yields 31 bits")
+        wh = (
+            "(48271 * aggregate(sequence(1, length(w)), 0L, "
+            "(acc, i) -> acc + ascii(substring(w, i, 1)) * i) "
+            "+ 16807 * aggregate(sequence(1, length(w)), 0L, "
+            "(acc, i) -> acc + ascii(substring(w, i, 1)))) "
+            f"% {PORTABLE_MOD}"
+        )
+    else:
+        wh = "xxhash64(w)"
     bit_sums = F.expr(
         "transform(sequence(0, {b} - 1), bit -> "
         "aggregate(split(lower({t}), ' '), 0L, (acc, w) -> "
-        "acc + (CASE WHEN (xxhash64(w) >> bit) % 2 != 0 THEN 1 ELSE -1 END)))".format(
-            b=bits, t=text_col
+        "acc + (CASE WHEN (({h}) >> bit) % 2 != 0 THEN 1 ELSE -1 END)))".format(
+            b=bits, t=text_col, h=wh
         )
     )
     sh = F.expr(
@@ -265,18 +336,48 @@ def cosine_pairs(
 
 
 def cosine_topk(
-    emb: DataFrame, n_queries: int = 5, k: int = 10, id_col: str = "vec_id"
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    shards: int = 32,
 ) -> DataFrame:
-    """Exact top-k neighbors per query via window rank over the
-    brute-force scores (ties broken by candidate id)."""
+    """Exact top-k neighbors per query, two-phase (scale-safe).
+
+    Phase 1 shards candidates by ``pmod(cand_id, shards)`` and keeps a
+    per-(query, shard) partial top-k with ``slice(array_sort(...), 1,
+    k)`` — a hash aggregate with map-side combine, so no single task
+    ever sorts more than its own partition's rows.  Phase 2 merges the
+    ``shards * k`` survivors per query (a bounded set) the same way and
+    posexplodes ranks.  Ties break by candidate id, matching a
+    ``ORDER BY cosine DESC, cand_id`` window oracle.  Replaces the
+    per-query full-N window sort that was the one per-query
+    single-reducer hotspot at 10^9 candidates."""
     pairs = cosine_pairs(emb, n_queries, threshold=-1.1, id_col=id_col)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_r6"), F.asc("cand_id")
+    # sort key: ascending (-cosine, cand_id) == (cosine desc, cand_id asc)
+    item = F.struct(
+        (-F.col("cosine_r6")).alias("neg"),
+        F.col("cand_id").alias("cand_id"),
+        F.col("cosine_r6").alias("cosine_r6"),
     )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine_r6", "rank")
+    partial = (
+        pairs.groupBy("query_id", F.pmod("cand_id", F.lit(shards)).alias("_shard"))
+        .agg(
+            F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("top")
+        )
+    )
+    merged = (
+        partial.select("query_id", F.explode("top").alias("it"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("it")), 1, k).alias("top"))
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "it")
+    ).select(
+        "query_id",
+        F.col("it.cand_id").alias("cand_id"),
+        F.col("it.cosine_r6").alias("cosine_r6"),
+        (F.col("pos") + 1).alias("rank"),
     )
 
 

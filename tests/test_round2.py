@@ -1,0 +1,238 @@
+"""Round-2 additions: resolution ops, FRB1 multimodal decode,
+coarser-from-finer re-agg, two-phase top-k, portable hash, manifest
+crash recovery."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _tok_df(spark, n_docs=40):
+    rows = []
+    for d in range(n_docs):
+        n = (d % 13) + 4
+        toks = [((d + 1) * 48271 + i * 16807) % 101 for i in range(n)]
+        rows.append((d, "s%d" % (d % 3), n, toks))
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_tok int, tokens array<int>"
+    )
+
+
+# --- resolution ops --------------------------------------------------------
+
+def test_downsample_upsample_lengthen_match_reference_numpy(spark):
+    from fruits_spark import resolution as RS
+
+    df = _tok_df(spark).withColumn("down", RS.downsample("tokens", 0.5)) \
+        .withColumn("up", RS.upsample("tokens")) \
+        .withColumn("lng", RS.lengthen("tokens", 0.25))
+    for r in df.collect():
+        x = np.asarray(r["tokens"], dtype=np.float64)
+        # reference downsample: X[:, :, ::n] (data.py:389-402)
+        assert list(r["down"]) == list(x[::2].astype(int))
+        # reference upsample: interleave with midpoints, length 2l-1
+        # (data.py:405-417)
+        up = np.asarray(r["up"])
+        assert len(up) == 2 * len(x) - 1
+        assert np.array_equal(up[::2], x)
+        assert np.array_equal(up[1::2], (x[:-1] + x[1:]) / 2.0)
+        # reference lengthen: pad int(0.25*l) copies of the last value
+        add = int(0.25 * len(x))
+        assert list(r["lng"]) == list(x.astype(int)) + [int(x[-1])] * add
+
+
+def test_implant_stuttering_collapse_invariant(spark):
+    from fruits_spark import resolution as RS
+
+    df = RS.implant_stuttering(_tok_df(spark), seed=7)
+    for r in df.collect():
+        x = list(r["tokens"])
+        st = list(r["stuttered"])
+        assert len(st) == len(x) + int(0.1 * len(x))
+        collapsed = [v for i, v in enumerate(st)
+                     if i == 0 or v != st[i - 1]]
+        # source stream has no consecutive duplicates, so collapsing
+        # consecutive repeats must recover it exactly
+        assert collapsed == x
+
+
+def test_implant_stuttering_partitioning_independent(spark):
+    from fruits_spark import resolution as RS
+
+    base = _tok_df(spark)
+    a = {r["doc_id"]: list(r["stuttered"])
+         for r in RS.implant_stuttering(base.repartition(1), seed=3).collect()}
+    b = {r["doc_id"]: list(r["stuttered"])
+         for r in RS.implant_stuttering(base.repartition(7), seed=3).collect()}
+    assert a == b
+
+
+# --- multimodal FRB1 -------------------------------------------------------
+
+def test_frb1_roundtrip(spark):
+    from fruits_spark.multimodal import decode_frames, synth_frame_blobs
+
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    dec = decode_frames(synth_frame_blobs(docs)).collect()
+    assert len(dec) == 30
+    for r in dec:
+        d = r["doc_id"]
+        nf, w, h = d % 7 + 2, d % 5 + 2, d % 3 + 2
+        assert (r["n_frames"], r["width"], r["height"]) == (nf, w, h)
+        assert r["n_bytes"] == 4 + nf * w * h
+        for f, s in enumerate(r["frame_sums"]):
+            expect = sum(
+                ((d + 1) * 31 + f * 7 + p * 3) % 251 for p in range(w * h)
+            )
+            assert s == expect
+
+
+def test_frb1_rejects_corrupt_blob(spark):
+    from fruits_spark.multimodal import decode_frames
+
+    bad = spark.createDataFrame(
+        [(0, bytearray(b"\x00\x01\x02\x03"))], "doc_id long, blob binary"
+    )
+    with pytest.raises(Exception, match="FRB1"):
+        decode_frames(bad).collect()
+
+
+# --- coarser-from-finer re-agg ---------------------------------------------
+
+def test_reagg_tier_equals_direct_rollup(spark):
+    from fruits_spark.engine import rollup as RU
+    from fruits_spark.engine.executor import extract_features, feature_columns
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    fplan = FruitPlan(
+        (Slice(iss=ISSSpec((W("[1]"),)), sieves=(Sieve("end"),)),)
+    )
+    fc = feature_columns(fplan)
+    feats = extract_features(_tok_df(spark), fplan)
+    fine = RU.rollup_tier(
+        feats, RU.Tier("t1k", 1000), 16, fc,
+        bucket_expr=(F.col("doc_id") % 16).cast("int"),
+    )
+    via_fine = RU.reagg_tier(
+        fine, fc, bucket_expr=(F.col("bucket") % 4).cast("int")
+    )
+    direct = RU.rollup_tier(
+        feats, RU.Tier("t4", 4000), 4, fc,
+        bucket_expr=((F.col("doc_id") % 16) % 4).cast("int"),
+    )
+    key = lambda r: (r["source"], r["bucket"])
+    a = {key(r): (r["n_docs"], r["sum_tok"], r[f"sum_{fc[0]}"],
+                  r[f"max_{fc[0]}"]) for r in via_fine.collect()}
+    b = {key(r): (r["n_docs"], r["sum_tok"], r[f"sum_{fc[0]}"],
+                  r[f"max_{fc[0]}"]) for r in direct.collect()}
+    assert a == b
+
+
+# --- two-phase top-k -------------------------------------------------------
+
+def test_cosine_topk_matches_window_rank(spark):
+    from pyspark.sql import Window
+    from fruits_spark.pipeline import cosine_pairs, cosine_topk
+
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    got = cosine_topk(emb, n_queries=3, k=5, shards=4).collect()
+    pairs = cosine_pairs(emb, 3, threshold=-1.1)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_r6"), F.asc("cand_id")
+    )
+    want = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    gm = {key(r): (r["cand_id"], r["cosine_r6"]) for r in got}
+    wm = {key(r): (r["cand_id"], r["cosine_r6"]) for r in want}
+    assert gm == wm
+
+
+# --- portable hash ---------------------------------------------------------
+
+def test_portable_hash_matches_python(spark):
+    from fruits_spark.pipeline import PORTABLE_MOD, _portable_ab, _portable_hash
+
+    words = ["alpha", "beta gamma", "x", "the quick brown fox"]
+    df = spark.createDataFrame([(w,) for w in words], "shingle string")
+    A, B = _portable_ab("shingle")
+    out = df.withColumn("a", A).withColumn("b", B).withColumn(
+        "h0", _portable_hash(F.col("a"), F.col("b"), 0)
+    ).withColumn("h5", _portable_hash(F.col("a"), F.col("b"), 5)).collect()
+    for r, w in zip(out, words):
+        a = sum(ord(c) * (i + 1) for i, c in enumerate(w))
+        b = sum(ord(c) for c in w)
+        assert r["a"] == a and r["b"] == b
+        assert r["h0"] == (48271 * a + 16807 * b) % PORTABLE_MOD
+        assert r["h5"] == (48271 * a + 6 * 16807 * b) % PORTABLE_MOD
+
+
+def test_minhash_portable_equal_docs_collide(spark):
+    from fruits_spark.pipeline import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g"),
+            (1, "a b c d e f g"),        # exact dup of 0
+            (2, "totally different words here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_candidates(
+                 docs, n_hashes=8, bands=4, hash_fn="portable").collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+# --- manifest crash recovery -----------------------------------------------
+
+def test_recover_manifest_promotes_retiring(tmp_path, spark):
+    from fruits_spark.engine import lineage as L
+
+    base = str(tmp_path)
+    path = L.manifest_path(base)
+    os.makedirs(path + "_retiring")
+    with open(os.path.join(path + "_retiring", "marker"), "w") as f:
+        f.write("new")
+    # crash state: live manifest already moved aside, new one not yet in
+    os.makedirs(path + "_old")
+    L.recover_manifest(base)
+    assert os.path.exists(os.path.join(path, "marker"))
+    assert not os.path.exists(path + "_retiring")
+
+
+def test_recover_manifest_rolls_back_old(tmp_path):
+    from fruits_spark.engine import lineage as L
+
+    base = str(tmp_path)
+    path = L.manifest_path(base)
+    os.makedirs(path + "_old")
+    with open(os.path.join(path + "_old", "marker"), "w") as f:
+        f.write("old")
+    L.recover_manifest(base)
+    assert os.path.exists(os.path.join(path, "marker"))
+
+
+def test_recover_manifest_healthy_cleans_debris(tmp_path):
+    from fruits_spark.engine import lineage as L
+
+    base = str(tmp_path)
+    path = L.manifest_path(base)
+    os.makedirs(path)
+    os.makedirs(path + "_old")
+    os.makedirs(path + "_retiring")
+    L.recover_manifest(base)
+    assert os.path.exists(path)
+    assert not os.path.exists(path + "_old")
+    assert not os.path.exists(path + "_retiring")
