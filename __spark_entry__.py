@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship ISS rollup pipeline on sf0.001.
-``queries()`` exposes 49 callables covering every operator family from
+``queries()`` exposes 50 callables covering every operator family from
 SURVEY.md §2 (all ISS semirings incl. arctic-argmax and bayesian,
 EXTENDED prefix CSE, chained ISS, CosWISS, every preparateur incl. the
 DIM/NEW wrappers, every sieve incl. INC/INT wrappers and the AVG->CUR
@@ -10,9 +10,9 @@ multivariate tensors, coquantiles, tier rollups batch/salted/streaming
 + coarser-from-finer re-agg, gap-fill, forward-fill, as-of join, codec
 roundtrips doc- and tier-level, resolution ops (downsample/upsample/
 lengthen/implant_stuttering), dedup exact/jaccard/minhash-LSH/simhash/
-embedding-LSH, ANN brute+two-phase-top-k, text stats / lang-id /
+embedding-LSH, ANN brute+two-phase-top-k+IVF, text stats / lang-id /
 fingerprint, multimodal FRB1 binary frame decode); ``oracle_sql()``
-gives the DuckDB-runnable ANSI-SQL equivalent for ALL 49 — minhash/
+gives the DuckDB-runnable ANSI-SQL equivalent for ALL 50 — minhash/
 simhash run a portable integer hash for the oracle (xxhash64 stays the
 prod default, pinned by a from-spec pure-Python XXH64 reference in
 tests/test_hash_reference.py).  Related operators are grouped into one
@@ -1778,6 +1778,86 @@ WHERE rn <= 10
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the third similarity-search path next to brute
+    force and LSH buckets): coarse-quantize every vector to its nearest
+    of 8 deterministic centroids (projection — no shuffle), probe each
+    query's top-2 lists, exact quantized cosine + two-phase top-5 on
+    the survivors.  The oracle implements the identical pruning, so the
+    match is value-exact."""
+    from fruits_spark.pipeline import ivf_topk
+
+    return ivf_topk(
+        _read(spark, sf_dir, "embeddings"),
+        n_centroids=8, n_queries=4, nprobe=2, k=5,
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("cand_id").cast("long").alias("cand_id"),
+        "cosine_r6",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_ANN_IVF = """
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS qvec
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, qvec,
+           CAST(list_dot_product(qvec, qvec) AS BIGINT) AS qnorm
+    FROM q
+),
+cent AS (
+    SELECT vec_id AS cid, qvec AS cvec, qnorm AS cnorm FROM n
+    WHERE vec_id < 8
+),
+scored AS (
+    SELECT n.vec_id, c.cid,
+           CAST(list_dot_product(n.qvec, c.cvec) AS BIGINT)
+               / sqrt(CAST(c.cnorm AS DOUBLE)) AS s
+    FROM n CROSS JOIN cent c
+),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY s DESC, cid) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY s DESC, cid) AS rn
+        FROM scored WHERE vec_id < 4
+    ) WHERE rn <= 2
+),
+pairs AS (
+    SELECT p.query_id, a.vec_id AS cand_id,
+           ROUND(CAST(list_dot_product(nq.qvec, nc.qvec) AS BIGINT)
+                 / sqrt(CAST(nq.qnorm * nc.qnorm AS DOUBLE)), 6) AS cosine_r6
+    FROM probe p
+    JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id
+    JOIN n nq ON nq.vec_id = p.query_id
+    JOIN n nc ON nc.vec_id = a.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(cand_id AS BIGINT) AS cand_id,
+       cosine_r6,
+       CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_r6 DESC, cand_id) AS rn
+    FROM pairs
+)
+WHERE rn <= 5
+"""
+
+
 def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-fill (nan repair, reference corbeille data.py:126-147 as
     a window analytic): null out every 5th event's value, fill with the
@@ -2951,6 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": q_codec_roundtrip,
         "dedup_embed": q_dedup_embed,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "ffill": q_ffill,
         "sieve_npi_family": q_sieve_npi_family,
         "prep_win": q_prep_win,
@@ -3005,6 +3086,7 @@ def oracle_sql() -> dict[str, str]:
         "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
         "dedup_embed": _sql_dedup_embed(),
         "ann_topk": SQL_ANN_TOPK,
+        "ann_ivf": SQL_ANN_IVF,
         "ffill": SQL_FFILL,
         "sieve_npi_family": SQL_SIEVE_NPI_FAMILY,
         "prep_win": SQL_PREP_WIN,

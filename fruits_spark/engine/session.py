@@ -48,6 +48,17 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+        # glibc tuning for the python workers: the flat kernels allocate
+        # multi-MB scratch arrays per Arrow batch; with default malloc
+        # thresholds every one is a fresh mmap/munmap pair, and at 32
+        # concurrent workers the munmap TLB shootdowns + zone-lock
+        # contention dominate (measured: local[32] extraction swings
+        # 2.9-5.0 s untuned vs a tight 2.9-3.1 s tuned on the same
+        # dataset).  Raising the thresholds keeps scratch memory pooled
+        # inside each worker; arenas capped so RSS stays bounded.
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_ARENA_MAX", "2")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

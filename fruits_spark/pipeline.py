@@ -381,6 +381,116 @@ def cosine_topk(
     )
 
 
+def ivf_centroid_rows(emb: DataFrame, n_centroids: int, id_col: str = "vec_id"):
+    """Deterministic coarse quantizer for IVF: the first ``n_centroids``
+    quantized vectors act as centroids — the seeded stand-in for a
+    k-means train step (a production build k-means a sample; the
+    assignment / probe / list-join plumbing below is identical either
+    way).  Tiny, bounded driver-side materialization (like the fit
+    stage's sample)."""
+    q = quantize_embeddings(emb)
+    rows = (
+        q.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), "qvec", "qnorm")
+        .collect()
+    )
+    return [(int(r["cid"]), [int(v) for v in r["qvec"]], int(r["qnorm"]))
+            for r in rows]
+
+
+def _ivf_sorted_centroids(cents):
+    """Array expr: centroid structs sorted by (cosine-to-qvec desc, cid
+    asc).  Scores are dot/sqrt(cnorm) — the qnorm factor is common per
+    vector so the ranking is the cosine ranking; the integer dot is
+    exactly representable in a double, so every engine computing this
+    gets bit-identical scores."""
+    structs = []
+    for cid, cvec, cnorm in cents:
+        lits = ",".join(f"{v}L" for v in cvec)
+        score = (
+            f"(aggregate(zip_with(qvec, array({lits}), (x, y) -> x * y), "
+            f"0L, (acc, v) -> acc + v) / sqrt(cast({cnorm} as double)))"
+        )
+        structs.append(
+            F.struct(
+                F.expr(f"-{score}").alias("ns"), F.lit(cid).alias("cid")
+            )
+        )
+    return F.array_sort(F.array(*structs))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_queries: int = 4,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    shards: int = 32,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its best centroid
+    (a pure projection — centroids are inlined literals, so no join or
+    shuffle to assign), probe each query's ``nprobe`` closest lists, and
+    rank the ~N*nprobe/n_centroids surviving candidates by exact
+    quantized cosine with the same two-phase partial top-k as
+    :func:`cosine_topk`.  The list join shuffles on ``cid`` — bounded
+    inverted lists, never all pairs.  Recall is tuned by (n_centroids,
+    nprobe); both engines implement the identical pruning, so results
+    are value-exact, not just statistically close."""
+    cents = ivf_centroid_rows(emb, n_centroids, id_col)
+    q = quantize_embeddings(emb)
+    sorted_cents = _ivf_sorted_centroids(cents)
+    cand = q.select(
+        F.col(id_col).alias("cand_id"), "qvec", "qnorm",
+        F.element_at(sorted_cents, 1)["cid"].alias("cid"),
+    )
+    queries = (
+        q.where(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("qnorm").alias("q_qnorm"),
+            F.explode(F.slice(sorted_cents, 1, nprobe)).alias("probe"),
+        )
+        .select("query_id", "q_qvec", "q_qnorm", F.col("probe.cid").alias("cid"))
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_qvec, qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    pairs = (
+        cand.join(F.broadcast(queries), "cid")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("dot", dot)
+        .withColumn(
+            "cosine",
+            F.col("dot") / F.sqrt((F.col("q_qnorm") * F.col("qnorm")).cast("double")),
+        )
+        .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine_r6"))
+    )
+    item = F.struct(
+        (-F.col("cosine_r6")).alias("neg"),
+        F.col("cand_id").alias("cand_id"),
+        F.col("cosine_r6").alias("cosine_r6"),
+    )
+    partial = (
+        pairs.groupBy("query_id", F.pmod("cand_id", F.lit(shards)).alias("_shard"))
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("top"))
+    )
+    merged = (
+        partial.select("query_id", F.explode("top").alias("it"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("it")), 1, k).alias("top"))
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "it")
+    ).select(
+        "query_id",
+        F.col("it.cand_id").alias("cand_id"),
+        F.col("it.cosine_r6").alias("cosine_r6"),
+        (F.col("pos") + 1).alias("rank"),
+    )
+
+
 def lsh_bucket_expr(hyperplanes, col: str = "embedding"):
     """Column expression: bucket id = sign bits of ``hyperplanes @ v``
     (hyperplanes drawn seeded on the driver, inlined as literals) — a

@@ -236,3 +236,37 @@ def test_recover_manifest_healthy_cleans_debris(tmp_path):
     assert os.path.exists(path)
     assert not os.path.exists(path + "_old")
     assert not os.path.exists(path + "_retiring")
+
+
+def test_ivf_topk_matches_bruteforce_on_probed_lists(spark):
+    from fruits_spark.pipeline import (
+        cosine_pairs, ivf_centroid_rows, ivf_topk, quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=8)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    got = ivf_topk(emb, n_centroids=4, n_queries=2, nprobe=4, k=6,
+                   shards=4).collect()
+    # nprobe == n_centroids probes EVERY list -> identical to exact
+    # brute-force top-k
+    from pyspark.sql import Window
+    pairs = cosine_pairs(emb, 2, threshold=-1.1)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_r6"), F.asc("cand_id")
+    )
+    want = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 6)
+        .collect()
+    )
+    gm = {(r["query_id"], r["rank"]): r["cand_id"] for r in got}
+    wm = {(r["query_id"], r["rank"]): r["cand_id"] for r in want}
+    assert gm == wm
+    # pruned probe: every result must come from a probed inverted list
+    pruned = ivf_topk(emb, n_centroids=4, n_queries=2, nprobe=1, k=6,
+                      shards=4)
+    assert pruned.count() > 0
+    assert pruned.where(F.col("rank") > 6).count() == 0
