@@ -1249,7 +1249,9 @@ FROM documents d JOIN fp ON d.doc_id = fp.doc_id
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-stopword language heuristic with fixed tie-break."""
+    """Marker-stopword language heuristic, generic over the 6-language
+    marker table, with priority tie-break and marker-density
+    confidence."""
     from fruits_spark.pipeline import lang_id
 
     out = lang_id(_read(spark, sf_dir, "documents"))
@@ -1258,13 +1260,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "labelled_lang",
         F.col("s_en").cast("long").alias("s_en"),
         F.col("s_es").cast("long").alias("s_es"),
+        F.col("s_it").cast("long").alias("s_it"),
+        F.col("s_nl").cast("long").alias("s_nl"),
         "pred_lang",
+        "conf_r6",
     )
 
 
 SQL_LANG_ID = """
 WITH s AS (
     SELECT doc_id, lang AS labelled_lang,
+        len(string_split(lower(text), ' ')) AS nw,
         len(list_filter(string_split(lower(text), ' '),
             w -> w IN ('the','a','of','and','is'))) AS s_en,
         len(list_filter(string_split(lower(text), ' '),
@@ -1272,17 +1278,33 @@ WITH s AS (
         len(list_filter(string_split(lower(text), ' '),
             w -> w IN ('der','die','das','und','ist'))) AS s_de,
         len(list_filter(string_split(lower(text), ' '),
-            w -> w IN ('le','les','des','et','est'))) AS s_fr
+            w -> w IN ('le','les','des','et','est'))) AS s_fr,
+        len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('il','che','di','per','sono'))) AS s_it,
+        len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('het','een','van','dat','niet'))) AS s_nl
     FROM documents
+),
+best AS (
+    SELECT doc_id,
+           list_sort([
+               {'neg': -s_en, 'pri': 0, 'lang': 'en'},
+               {'neg': -s_es, 'pri': 1, 'lang': 'es'},
+               {'neg': -s_de, 'pri': 2, 'lang': 'de'},
+               {'neg': -s_fr, 'pri': 3, 'lang': 'fr'},
+               {'neg': -s_it, 'pri': 4, 'lang': 'it'},
+               {'neg': -s_nl, 'pri': 5, 'lang': 'nl'}
+           ])[1] AS b
+    FROM s
 )
-SELECT CAST(doc_id AS BIGINT) AS doc_id, labelled_lang,
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id, labelled_lang,
        CAST(s_en AS BIGINT) AS s_en,
        CAST(s_es AS BIGINT) AS s_es,
-       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-            WHEN s_de >= s_fr THEN 'de'
-            ELSE 'fr' END AS pred_lang
-FROM s
+       CAST(s_it AS BIGINT) AS s_it,
+       CAST(s_nl AS BIGINT) AS s_nl,
+       b.lang AS pred_lang,
+       ROUND(CAST(-b.neg AS DOUBLE) / nw, 6) AS conf_r6
+FROM s JOIN best ON s.doc_id = best.doc_id
 """
 
 

@@ -594,41 +594,55 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# language -> marker stopwords, in tie-break priority order.  Extensible
+# by construction: lang_id builds its scoring/argmax generically over
+# this table, so adding a language is one entry here (and in the oracle
+# SQL).  Non-latin scripts (e.g. zh) have no whitespace-delimited latin
+# stopwords — on such text every score is 0 and the prediction falls to
+# the highest-priority language; a production build adds a script-range
+# detector in front (same plumbing, different marker table).
 LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
     "es": ("el", "la", "de", "que", "los"),
     "de": ("der", "die", "das", "und", "ist"),
     "fr": ("le", "les", "des", "et", "est"),
-    "en": ("the", "a", "of", "and", "is"),
+    "it": ("il", "che", "di", "per", "sono"),
+    "nl": ("het", "een", "van", "dat", "niet"),
 }
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-marker language heuristic: count marker hits per language
-    and take the argmax with a fixed tie-break order (en,es,de,fr)."""
+    """Stopword-marker language heuristic, generic over LANG_MARKERS:
+    per-language marker-hit counts, argmax with the table's priority
+    order as tie-break, plus a marker-density confidence
+    (top score / word count)."""
     cols = []
-    for lang, markers in LANG_MARKERS.items():
+    structs = []
+    for pri, (lang, markers) in enumerate(LANG_MARKERS.items()):
         lst = ",".join(f"'{m}'" for m in markers)
-        cols.append(
-            F.size(
-                F.expr(f"filter(split(lower({text_col}), ' '), w -> w IN ({lst}))")
-            ).alias(f"s_{lang}")
+        score = F.size(
+            F.expr(f"filter(split(lower({text_col}), ' '), w -> w IN ({lst}))")
         )
-    scored = docs.select("doc_id", F.col("lang").alias("labelled_lang"), *cols)
-    pred = (
-        F.when(
-            (F.col("s_en") >= F.col("s_es"))
-            & (F.col("s_en") >= F.col("s_de"))
-            & (F.col("s_en") >= F.col("s_fr")),
-            F.lit("en"),
+        cols.append(score.alias(f"s_{lang}"))
+        structs.append(
+            F.struct(
+                (-F.col(f"s_{lang}")).alias("neg"),
+                F.lit(pri).alias("pri"),
+                F.lit(lang).alias("lang"),
+            )
         )
-        .when(
-            (F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")),
-            F.lit("es"),
-        )
-        .when(F.col("s_de") >= F.col("s_fr"), F.lit("de"))
-        .otherwise(F.lit("fr"))
+    scored = docs.select(
+        "doc_id", F.col("lang").alias("labelled_lang"),
+        F.size(_words(text_col)).alias("_nw"), *cols,
     )
-    return scored.withColumn("pred_lang", pred)
+    best = F.element_at(F.array_sort(F.array(*structs)), 1)
+    return (
+        scored.withColumn("pred_lang", best["lang"])
+        .withColumn(
+            "conf_r6", F.round((-best["neg"]) / F.col("_nw"), 6)
+        )
+        .drop("_nw")
+    )
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

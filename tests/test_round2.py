@@ -270,3 +270,26 @@ def test_ivf_topk_matches_bruteforce_on_probed_lists(spark):
                       shards=4)
     assert pruned.count() > 0
     assert pruned.where(F.col("rank") > 6).count() == 0
+
+
+def test_per_row_token_equality_through_engine_io(spark, tmp_path):
+    """input_hint invariant: token arrays survive the engine's write/
+    read path (bucketed partitioned parquet) bit-for-bit — a join back
+    to the source on doc_id compares every array."""
+    from fruits_spark.engine.rollup import bucket_col
+
+    src = _tok_df(spark, 60)
+    out = str(tmp_path / "toks")
+    (src.withColumn("bucket", bucket_col(8))
+        .write.partitionBy("bucket").parquet(out))
+    back = spark.read.parquet(out)
+    joined = (
+        src.alias("a").join(back.alias("b"), "doc_id")
+        .select(
+            "doc_id",
+            F.expr("a.tokens = b.tokens").alias("eq"),
+            (F.col("a.n_tok") == F.col("b.n_tok")).alias("eq_n"),
+        )
+    )
+    assert joined.count() == 60
+    assert joined.where(~F.col("eq") | ~F.col("eq_n")).count() == 0
