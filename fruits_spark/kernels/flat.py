@@ -415,32 +415,54 @@ def coswiss_flat(
     """Univariate CosWISS on a flat batch (same recurrence as
     :func:`fruits_spark.kernels.iss.coswiss` with segmented scans;
     the angle grid uses each segment's own length)."""
-    from .iss import coswiss_table
+
+    from math import comb
 
     exps = word[:, 0]
     f32 = float(np.float32(freq))  # reference kernel takes freq as f4
     denom = f32 * np.maximum(seg.lengths - 1, 1).astype(np.float64)
     g = np.pi * seg.pos / seg.broadcast(denom)
     sin_w, cos_w = np.sin(g), np.cos(g)
-    table = coswiss_table(len(exps), exponent, total)
+    # gap-choice trie CSE over the binomial table (see iss.coswiss):
+    # rows sharing a gap-choice prefix share the scan chain up to that
+    # letter; DFS computes each prefix once, bit-identically (same
+    # per-path op order, same lexicographic accumulation order)
+    n_let = len(exps)
+    n_gaps = (n_let + 1 if total else n_let) - 1
     result = np.zeros_like(x)
-    for row in table:
-        tmp = np.ones_like(x)
-        for k in range(len(exps)):
-            if k > 0:
-                tmp = seg.shift1(tmp)
-            tmp = tmp * _pow1(x, exps[k])
-            for _ in range(int(row[2 * k + 1])):
-                tmp = tmp * sin_w
-            for _ in range(int(row[2 * k + 2])):
-                tmp = tmp * cos_w
-            tmp = seg.cumsum(tmp)
-        if total:
-            for _ in range(int(row[2 * len(exps) + 1])):
-                tmp = tmp * sin_w
-            for _ in range(int(row[2 * len(exps) + 2])):
-                tmp = tmp * cos_w
-        result += row[0] * tmp
+
+    def step(state, k, sin_e, cos_e):
+        tmp = seg.shift1(state) if k > 0 else state
+        tmp = tmp * _pow1(x, exps[k])
+        for _ in range(sin_e):
+            tmp = tmp * sin_w
+        for _ in range(cos_e):
+            tmp = tmp * cos_w
+        return seg.cumsum(tmp)
+
+    def dfs(k, state, coeff, prev):
+        nonlocal result
+        if k == n_let:
+            tmp = state
+            if total:
+                for _ in range(exponent - prev):
+                    tmp = tmp * sin_w
+                for _ in range(prev):
+                    tmp = tmp * cos_w
+            result += coeff * tmp
+            return
+        right_sin = (exponent - prev) if k > 0 else 0
+        right_cos = prev if k > 0 else 0
+        if k < n_gaps:
+            for c in range(exponent + 1):
+                st = step(state, k, right_sin + (exponent - c),
+                          right_cos + c)
+                dfs(k + 1, st, coeff * comb(exponent, c), c)
+        else:
+            st = step(state, k, right_sin, right_cos)
+            dfs(k + 1, st, coeff, prev)
+
+    dfs(0, np.ones_like(x), 1, 0)
     return result
 
 
