@@ -293,3 +293,75 @@ def test_per_row_token_equality_through_engine_io(spark, tmp_path):
     )
     assert joined.count() == 60
     assert joined.where(~F.col("eq") | ~F.col("eq_n")).count() == 0
+
+
+# --- whole-plan fuzz: flat hot path vs bucketed reference path -------------
+
+def test_random_plans_flat_equals_bucketed():
+    """Fuzz whole FruitPlans across the flat-supported space (preps x
+    words x semirings x weightings x sieves) and assert the flat
+    segmented path matches the bucketed 3-D reference-parity path on
+    random integer series (rtol covers the documented <=1e-13 carry
+    drift of the global-cumsum trick)."""
+    import itertools
+    import pandas as pd
+    from fruits_spark.engine.executor import (
+        compute_features_block, compute_features_flat, plan_is_flat,
+    )
+    from fruits_spark.kernels.segments import flatten_lists
+    from fruits_spark.plan import FruitPlan, ISSSpec, Prep, Sieve, Slice
+    from fruits_spark.words import W
+
+    rng = np.random.default_rng(23)
+    preps_pool = [(), (Prep("inc"),), (Prep("std"),), (Prep("nrm"),),
+                  (Prep("inc"), Prep("std"))]
+    words_pool = [("[1]",), ("[11]", "[1][1]"), ("[1][1][1]",),
+                  ("[11][1]", "[111]")]
+    spec_pool = [
+        dict(semiring="reals"),
+        dict(semiring="arctic"),
+        dict(semiring="bayesian"),
+        dict(semiring="reals", weighting="indices",
+             weighting_params={"relative": True, "scale": 1.0}),
+        dict(semiring="reals", weighting="l2", weighting_params={}),
+        dict(semiring="reals", mode="extended"),
+    ]
+    sieves_pool = [
+        (Sieve("end"),),
+        (Sieve("max"), Sieve("min")),
+        (Sieve("ppv", {"quantiles": [10.0], "constant": [True]}),),
+        (Sieve("end"), Sieve("cur")),
+        (Sieve("npi", {"q": (0.0, 1.0), "inc": 1}),),
+        (Sieve("end", {"cuts": [0.5]}),),
+    ]
+    checked = 0
+    for trial in range(40):
+        n_slices = int(rng.integers(1, 3))
+        slices = []
+        for _ in range(n_slices):
+            kw = dict(spec_pool[int(rng.integers(len(spec_pool)))])
+            words = tuple(
+                W(w) for w in words_pool[int(rng.integers(len(words_pool)))]
+            )
+            slices.append(Slice(
+                preps=preps_pool[int(rng.integers(len(preps_pool)))],
+                iss=ISSSpec(words, **kw),
+                sieves=sieves_pool[int(rng.integers(len(sieves_pool)))],
+            ))
+        fplan = FruitPlan(tuple(slices))
+        if not plan_is_flat(fplan):
+            continue
+        rows = [rng.integers(0, 50, int(rng.integers(1, 25)))
+                .astype(np.float64) for _ in range(int(rng.integers(1, 9)))]
+        values, offsets = flatten_lists(pd.Series(rows))
+        ff = compute_features_flat(values, offsets, fplan)
+        # bucketed oracle: group rows by length
+        fb = np.zeros_like(ff)
+        lengths = np.array([len(r) for r in rows])
+        for ln in np.unique(lengths):
+            idx = np.nonzero(lengths == ln)[0]
+            Z = np.stack([rows[i] for i in idx])[:, np.newaxis, :]
+            fb[idx] = compute_features_block(Z, fplan)
+        np.testing.assert_allclose(ff, fb, rtol=1e-8, atol=1e-8)
+        checked += 1
+    assert checked >= 20  # the pool must actually exercise the flat path
