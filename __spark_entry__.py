@@ -437,7 +437,7 @@ def q_iss_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ISS_WEIGHTED = f"""
 WITH {SQL_TOKS},
 g AS (
-    SELECT doc_id, pos, x / 100.0 AS xs, x * 0.01 AS xb, n_tok,
+    SELECT doc_id, pos, x * 0.01 AS xb, n_tok,
            ((CAST(pos + 1 AS DOUBLE) / n_tok) - (CAST(1 AS DOUBLE) / n_tok))
                / (1.0 - (CAST(1 AS DOUBLE) / n_tok)) AS gi,
            SQRT(CAST(pos AS DOUBLE)) AS gc,
@@ -445,8 +445,8 @@ g AS (
     FROM toks
 ),
 lvl1 AS (
-    SELECT doc_id, pos, xs, xb, gi, gc, gp,
-           SUM(xs * EXP(gi * 1.0)) OVER w AS runw,
+    SELECT doc_id, pos, xb, gi, gc, gp,
+           SUM(xb * EXP(gi * 1.0)) OVER w AS runw,
            SUM(xb * EXP(gc)) OVER w AS runc,
            SUM(xb * EXP(gp)) OVER w AS runp
     FROM g
@@ -454,7 +454,7 @@ lvl1 AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT doc_id,
-       ROUND(SUM(((runw - xs * EXP(gi * 1.0)) * xs) * EXP(-gi * 1.0)), 6)
+       ROUND(SUM(((runw - xb * EXP(gi * 1.0)) * xb) * EXP(-gi * 1.0)), 6)
            AS wend_r6,
        ROUND(SUM(((runc - xb * EXP(gc)) * xb) * EXP(-gc)), 6)
            AS wcust_end_r6,

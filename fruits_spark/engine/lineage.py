@@ -32,27 +32,39 @@ def manifest_path(base: str) -> str:
     return os.path.join(base, "_lineage")
 
 
-def recover_manifest(base: str) -> None:
+def recover_manifest(base: str, clean: bool = False) -> None:
     """Crash recovery for the retire swap (see :func:`retire_runs`):
     if the manifest directory is missing but a committed ``_retiring``
     (the fully-written new manifest) or ``_old`` (the pre-retire one)
     exists, restore it — a crash between the two renames must never
     leave readers with an empty lineage.  Called before every manifest
-    read; a no-op in the healthy state."""
+    read; a no-op in the healthy state.
+
+    Readers only RESTORE (rename into place, tolerating losing the race
+    to another recoverer); debris removal (``clean=True``) is reserved
+    for :func:`retire_runs` — a reader must never delete ``_retiring``
+    while a live retire is between its two renames."""
     import shutil
 
     path = manifest_path(base)
     tmp, old = path + "_retiring", path + "_old"
     if not os.path.exists(path):
-        if os.path.exists(tmp):
-            # new manifest was fully written: promote it
-            os.rename(tmp, path)
-        elif os.path.exists(old):
-            # crashed before the new manifest was ready: roll back
-            os.rename(old, path)
-        else:
-            return
-    # manifest present (or just restored): clear leftover swap debris
+        try:
+            if os.path.exists(tmp):
+                # new manifest was fully written: promote it
+                os.rename(tmp, path)
+            elif os.path.exists(old):
+                # crashed before the new manifest was ready: roll back
+                os.rename(old, path)
+            else:
+                return
+        except OSError:
+            # concurrent recover/retire won the rename — fall through;
+            # the manifest is (or is about to be) in place
+            pass
+    if not clean:
+        return
+    # writer path: manifest present (or just restored) — clear debris
     for p in (tmp, old):
         if os.path.exists(p):
             shutil.rmtree(p)
@@ -136,7 +148,7 @@ def retire_runs(
     complete before the live manifest is ever moved aside)."""
     import shutil
 
-    recover_manifest(base)
+    recover_manifest(base, clean=True)
     for t in tiers:
         for r in run_ids:
             p = os.path.join(base, f"tier={t}", f"run={r}")

@@ -94,16 +94,18 @@ def reagg_exprs(feature_cols: list[str]) -> list[str]:
     return aggs
 
 
-_VIEW_SEQ = 0
+import itertools
+
+# deterministic AND thread-safe name source: itertools.count() is atomic
+# under the GIL, so a streaming foreachBatch thread and the driver thread
+# can run rollups concurrently without colliding on a view name (a plain
+# global counter has a read-modify-write race; hash() varies with
+# PYTHONHASHSEED across sessions)
+_VIEW_SEQ = itertools.count(1)
 
 
 def _sql_agg(df: DataFrame, keys: list[str], aggs: list[str]) -> DataFrame:
-    # deterministic per-session counter (a Python hash() here would vary
-    # with PYTHONHASHSEED across sessions); the view is dropped once the
-    # plan is captured — the returned DataFrame holds its own plan
-    global _VIEW_SEQ
-    _VIEW_SEQ += 1
-    name = f"_rollup_in_{_VIEW_SEQ}"
+    name = f"_rollup_in_{next(_VIEW_SEQ)}"
     df.createOrReplaceTempView(name)
     out = df.sparkSession.sql(
         f"SELECT {', '.join(keys)}, {', '.join(aggs)} FROM {name} "

@@ -263,11 +263,19 @@ def simhash(
         )
     else:
         wh = "xxhash64(w)"
+    # ONE aggregate pass folding all bit-sums at once: the word-hash
+    # array is the aggregate's INPUT (evaluated once), not a
+    # subexpression inside a per-bit lambda — Spark re-evaluates
+    # lambda-invariant subexpressions per invocation, so the naive
+    # per-bit formulation recomputed every word's hash `bits` times
+    # (measured: q_simhash 15 s -> 1 s at sf0.01 for the portable hash)
     bit_sums = F.expr(
-        "transform(sequence(0, {b} - 1), bit -> "
-        "aggregate(split(lower({t}), ' '), 0L, (acc, w) -> "
-        "acc + (CASE WHEN (({h}) >> bit) % 2 != 0 THEN 1 ELSE -1 END)))".format(
-            b=bits, t=text_col, h=wh
+        "aggregate("
+        "transform(split(lower({t}), ' '), w -> {h}), "
+        "array_repeat(0L, {b}), "
+        "(acc, h) -> zip_with(acc, sequence(0, {b} - 1), (a, bit) -> "
+        "a + (CASE WHEN (h >> bit) % 2 != 0 THEN 1 ELSE -1 END)))".format(
+            t=text_col, h=wh, b=bits
         )
     )
     sh = F.expr(
@@ -335,26 +343,19 @@ def cosine_pairs(
     )
 
 
-def cosine_topk(
-    emb: DataFrame,
-    n_queries: int = 5,
-    k: int = 10,
-    id_col: str = "vec_id",
-    shards: int = 32,
-) -> DataFrame:
-    """Exact top-k neighbors per query, two-phase (scale-safe).
+def _two_phase_topk(pairs: DataFrame, k: int, shards: int) -> DataFrame:
+    """Scale-safe exact top-k per query over (query_id, cand_id,
+    cosine_r6) pairs.
 
     Phase 1 shards candidates by ``pmod(cand_id, shards)`` and keeps a
     per-(query, shard) partial top-k with ``slice(array_sort(...), 1,
     k)`` — a hash aggregate with map-side combine, so no single task
     ever sorts more than its own partition's rows.  Phase 2 merges the
     ``shards * k`` survivors per query (a bounded set) the same way and
-    posexplodes ranks.  Ties break by candidate id, matching a
-    ``ORDER BY cosine DESC, cand_id`` window oracle.  Replaces the
-    per-query full-N window sort that was the one per-query
-    single-reducer hotspot at 10^9 candidates."""
-    pairs = cosine_pairs(emb, n_queries, threshold=-1.1, id_col=id_col)
-    # sort key: ascending (-cosine, cand_id) == (cosine desc, cand_id asc)
+    posexplodes ranks.  The sort key ascending (-cosine, cand_id) ==
+    (cosine desc, cand_id asc), matching the window oracle's tie-break.
+    Replaces the per-query full-N window sort that was the one
+    per-query single-reducer hotspot at 10^9 candidates."""
     item = F.struct(
         (-F.col("cosine_r6")).alias("neg"),
         F.col("cand_id").alias("cand_id"),
@@ -379,6 +380,19 @@ def cosine_topk(
         F.col("it.cosine_r6").alias("cosine_r6"),
         (F.col("pos") + 1).alias("rank"),
     )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    shards: int = 32,
+) -> DataFrame:
+    """Exact top-k neighbors per query via the two-phase partial top-k
+    (see :func:`_two_phase_topk`) over brute-force scores."""
+    pairs = cosine_pairs(emb, n_queries, threshold=-1.1, id_col=id_col)
+    return _two_phase_topk(pairs, k, shards)
 
 
 def ivf_centroid_rows(emb: DataFrame, n_centroids: int, id_col: str = "vec_id"):
@@ -467,28 +481,7 @@ def ivf_topk(
         )
         .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine_r6"))
     )
-    item = F.struct(
-        (-F.col("cosine_r6")).alias("neg"),
-        F.col("cand_id").alias("cand_id"),
-        F.col("cosine_r6").alias("cosine_r6"),
-    )
-    partial = (
-        pairs.groupBy("query_id", F.pmod("cand_id", F.lit(shards)).alias("_shard"))
-        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("top"))
-    )
-    merged = (
-        partial.select("query_id", F.explode("top").alias("it"))
-        .groupBy("query_id")
-        .agg(F.slice(F.array_sort(F.collect_list("it")), 1, k).alias("top"))
-    )
-    return merged.select(
-        "query_id", F.posexplode("top").alias("pos", "it")
-    ).select(
-        "query_id",
-        F.col("it.cand_id").alias("cand_id"),
-        F.col("it.cosine_r6").alias("cosine_r6"),
-        (F.col("pos") + 1).alias("rank"),
-    )
+    return _two_phase_topk(pairs, k, shards)
 
 
 def lsh_bucket_expr(hyperplanes, col: str = "embedding"):

@@ -232,7 +232,12 @@ def test_recover_manifest_healthy_cleans_debris(tmp_path):
     os.makedirs(path)
     os.makedirs(path + "_old")
     os.makedirs(path + "_retiring")
+    # a READER must not delete swap debris (racing a live retire) ...
     L.recover_manifest(base)
+    assert os.path.exists(path + "_old")
+    assert os.path.exists(path + "_retiring")
+    # ... only the retire writer clears it
+    L.recover_manifest(base, clean=True)
     assert os.path.exists(path)
     assert not os.path.exists(path + "_old")
     assert not os.path.exists(path + "_retiring")

@@ -23,18 +23,24 @@ N = 20_000_000  # 3 arrays x 160 MB per worker >> any LLC
 REPS = 5
 
 
+N_STREAMS = 4  # triad touches: read b, read c, write tmp, (re)read tmp -> a
+
+
 def _triad(barrier, q):
     import numpy as np
 
     b = np.ones(N)
     c = np.full(N, 2.0)
     a = np.empty(N)
-    # warm (page-in)
-    np.add(b, c, out=a)
+    tmp = np.empty(N)
+    # warm (page-in, incl. tmp — no allocation inside the timed loop)
+    np.multiply(c, 3.0, out=tmp)
+    np.add(b, tmp, out=a)
     barrier.wait()  # all workers hammer memory SIMULTANEOUSLY
     t0 = time.time()
     for _ in range(REPS):
-        np.add(b, 3.0 * c, out=a)  # triad: 2 reads + 1 write per elem
+        np.multiply(c, 3.0, out=tmp)
+        np.add(b, tmp, out=a)
     q.put((t0, time.time()))
 
 
@@ -50,7 +56,7 @@ def run(workers: int) -> dict:
     # aggregate over the SHARED window: total bytes / (last end - first
     # start) — per-worker best-of rates overstate when runs stagger
     wall = max(e for _, e in spans) - min(s for s, _ in spans)
-    total_bytes = workers * REPS * 3 * 8 * N
+    total_bytes = workers * REPS * N_STREAMS * 8 * N
     return {
         "workers": workers,
         "aggregate_gbs": round(total_bytes / wall / 1e9, 1),
