@@ -88,3 +88,72 @@ def compact_tier(
         os.path.join(output_base, "partials")
     )
     return _sql_agg(partials, ["source", "bucket"], RU.reagg_exprs(fcols))
+
+
+def stateful_tier_updates(
+    spark: SparkSession,
+    input_path: str,
+    fplan,
+    n_buckets: int = 64,
+    bucket_expr=None,
+    schema: str = TOKEN_SCHEMA,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    per-(source, bucket) running tier cells live in Spark's state store
+    and every micro-batch emits the UPDATED cells — the always-current
+    alternative to the partials+compaction path of
+    :func:`start_stream_rollup` (which stays the default: its sink is a
+    plain table and exactly-once falls out of (checkpoint, batch_id)).
+
+    Returns the streaming DataFrame of cell updates; callers pick the
+    sink (``outputMode("update")``).  Aggregates are the same algebraic
+    (count/sum/max) payload as batch tiers, so the state per key is a
+    fixed-width row — state-store size is O(cells), never O(docs).
+    ``n_docs`` grows monotonically per key, so the latest update for a
+    key is the row with the largest n_docs (used by tests to compare
+    the final state against the batch rollup)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fcols = feature_columns(fplan)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    feats = extract_features(stream, fplan)
+    b = bucket_expr if bucket_expr is not None else RU.bucket_col(n_buckets)
+    cells_in = feats.withColumn("bucket", b)
+
+    out_fields = ", ".join(
+        [f"sum_{c} double, max_{c} double" for c in fcols]
+    )
+    out_schema = (
+        f"source string, bucket int, n_docs long, sum_tok long, {out_fields}"
+    )
+    state_schema = f"n_docs long, sum_tok long, {out_fields}"
+    n_f = len(fcols)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            vals = list(state.get)
+        else:
+            vals = [0, 0] + [0.0, float("-inf")] * n_f
+        for pdf in pdfs:
+            vals[0] += len(pdf)
+            vals[1] += int(pdf["n_tok"].sum())
+            for i, c in enumerate(fcols):
+                col = pdf[c]
+                vals[2 + 2 * i] += float(col.sum())
+                vals[3 + 2 * i] = max(vals[3 + 2 * i], float(col.max()))
+        state.update(tuple(vals))
+        yield pd.DataFrame([list(key) + vals], columns=(
+            ["source", "bucket", "n_docs", "sum_tok"]
+            + [p for c in fcols for p in (f"sum_{c}", f"max_{c}")]
+        ))
+
+    return cells_in.groupBy("source", "bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )

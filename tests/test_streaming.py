@@ -51,3 +51,69 @@ def test_incremental_stream_matches_batch(spark, tmp_path):
         tier[expect.columns], expect, check_exact=False, rtol=1e-9,
         check_dtype=False,
     )
+
+
+def test_stateful_tier_updates_equal_batch(spark, tmp_path):
+    """applyInPandasWithState tier maintainer: the final state per
+    (source, bucket) must equal the batch rollup (integer plan keeps
+    every aggregate exact regardless of micro-batch split)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fruits_spark import datagen, streaming as ST
+    from fruits_spark.engine import rollup as RU
+    from fruits_spark.engine.executor import extract_features, feature_columns
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    fplan = FruitPlan(
+        (Slice(iss=ISSSpec((W("[1]"), W("[11]"))), sieves=(Sieve("end"),)),)
+    )
+    fc = feature_columns(fplan)
+    toks = spark.createDataFrame(
+        datagen.generate_pandas(300, seed=11, max_len=48)
+    )
+    inp = str(tmp_path / "in")
+    # several files so availableNow takes multiple triggers
+    toks.repartition(6).write.parquet(inp)
+
+    updates = ST.stateful_tier_updates(
+        spark, inp, fplan, n_buckets=8,
+        bucket_expr=(F.xxhash64("doc_id") % 8 + 8) % 8,
+        max_files_per_trigger=2,
+        schema="doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    q = (
+        updates.writeStream.format("memory").queryName("stateful_cells")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    mem = spark.sql("select * from stateful_cells")
+    # latest update per key = the row with max n_docs (monotone per key)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source", "bucket").orderBy(F.desc("n_docs"))
+    final = (
+        mem.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    feats = extract_features(toks, fplan)
+    batch = RU.rollup_tier(
+        feats, RU.Tier("t", 1), 8, fc,
+        bucket_expr=((F.xxhash64("doc_id") % 8 + 8) % 8).cast("int"),
+    )
+    key = lambda r: (r["source"], int(r["bucket"]))
+    got = {key(r): (r["n_docs"], r["sum_tok"],
+                    r[f"sum_{fc[0]}"], r[f"max_{fc[0]}"],
+                    r[f"sum_{fc[1]}"], r[f"max_{fc[1]}"])
+           for r in final.collect()}
+    want = {key(r): (r["n_docs"], r["sum_tok"],
+                     r[f"sum_{fc[0]}"], r[f"max_{fc[0]}"],
+                     r[f"sum_{fc[1]}"], r[f"max_{fc[1]}"])
+            for r in batch.collect()}
+    assert got == want
