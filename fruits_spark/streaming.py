@@ -7,11 +7,13 @@ pre-aggregated into per-(source, bucket) partial cells, appended to a
 partials table, and compacted into the tier by re-aggregating partials —
 no raw token data is ever revisited.
 
-``foreachBatch`` (not a stateful streaming agg) is the right construct
-here: the per-sequence math lives in the same ``extract_features``
-mapInPandas used by batch jobs, the sink is an ordinary table, and
-exactly-once comes from the (checkpoint, batch_id) pair — each batch id
-writes to its own subdirectory, making replays idempotent.
+``foreachBatch`` is the DEFAULT construct: the per-sequence math lives
+in the same ``extract_features`` mapInPandas used by batch jobs, the
+sink is an ordinary table, and exactly-once comes from the (checkpoint,
+batch_id) pair — each batch id writes to its own subdirectory, making
+replays idempotent.  :func:`stateful_tier_updates` is the always-current
+alternative: a custom stateful operator (``applyInPandasWithState``)
+keeping the running cells in Spark's state store.
 """
 
 from __future__ import annotations
@@ -136,17 +138,30 @@ def stateful_tier_updates(
     n_f = len(fcols)
 
     def update(key, pdfs, state):
+        import numpy as np
+
         if state.exists:
             vals = list(state.get)
         else:
             vals = [0, 0] + [0.0, float("-inf")] * n_f
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             vals[0] += len(pdf)
             vals[1] += int(pdf["n_tok"].sum())
             for i, c in enumerate(fcols):
-                col = pdf[c]
-                vals[2 + 2 * i] += float(col.sum())
-                vals[3 + 2 * i] = max(vals[3 + 2 * i], float(col.max()))
+                # numpy (NaN-propagating) aggregation + Spark's
+                # NaN-greatest max ordering, NOT pandas' NaN-skipping
+                # sum/max — the cells must match the batch rollup's
+                # Spark SQL sum/max bit-for-bit even if a feature value
+                # were non-finite (the kernels nan_to_num their outputs,
+                # so this is semantics parity, not a live path)
+                s = pdf[c].to_numpy(dtype=np.float64)
+                vals[2 + 2 * i] += float(s.sum())
+                m = float(s.max())
+                p = vals[3 + 2 * i]
+                if np.isnan(m) or m > p:
+                    vals[3 + 2 * i] = m
         state.update(tuple(vals))
         yield pd.DataFrame([list(key) + vals], columns=(
             ["source", "bucket", "n_docs", "sum_tok"]

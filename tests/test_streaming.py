@@ -57,14 +57,9 @@ def test_stateful_tier_updates_equal_batch(spark, tmp_path):
     """applyInPandasWithState tier maintainer: the final state per
     (source, bucket) must equal the batch rollup (integer plan keeps
     every aggregate exact regardless of micro-batch split)."""
-    import numpy as np
     from pyspark.sql import functions as F
 
-    from fruits_spark import datagen, streaming as ST
-    from fruits_spark.engine import rollup as RU
-    from fruits_spark.engine.executor import extract_features, feature_columns
-    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
-    from fruits_spark.words import W
+    from fruits_spark import streaming as ST
 
     fplan = FruitPlan(
         (Slice(iss=ISSSpec((W("[1]"), W("[11]"))), sieves=(Sieve("end"),)),)
