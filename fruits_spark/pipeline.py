@@ -515,6 +515,26 @@ def ann_lsh_buckets(
     )
 
 
+def embedding_near_dups_multi(
+    emb: DataFrame,
+    hyperplane_tables,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """OR-ed multi-table LSH near-dup: union the candidate pairs of
+    several independent hyperplane draws and dedupe — each extra table
+    multiplies recall at ~linear cost (the standard LSH amplification;
+    each table is the same bucketed self-join, never all-pairs)."""
+    parts = [
+        embedding_near_dups(emb, H, threshold, id_col)
+        for H in hyperplane_tables
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
 def embedding_near_dups(
     emb: DataFrame,
     hyperplanes,
@@ -568,6 +588,39 @@ def embedding_near_dups(
 # ---------------------------------------------------------------------------
 
 BPE_ISH_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def tokenize(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 32768,
+    source_col: str | None = "source",
+) -> DataFrame:
+    """Text -> pre-tokenized sequence table ``(doc_id, tokens
+    array<int>, n_tok, source)`` — the bridge from a raw document
+    corpus to the engine's token data model (so documents can flow
+    straight into ``extract_features`` / tier rollups).
+
+    Pieces come from the BPE-ish regex; ids are the portable char-sum
+    hash folded into a fixed vocab (the hashing-vocabulary trick — no
+    trained merges, no driver-side vocabulary object).  Fully JVM-side:
+    one regexp pass + one transform, no shuffle."""
+    wh = (
+        "(48271 * aggregate(sequence(1, length(w)), 0L, "
+        "(acc, i) -> acc + ascii(substring(w, i, 1)) * i) "
+        "+ 16807 * aggregate(sequence(1, length(w)), 0L, "
+        "(acc, i) -> acc + ascii(substring(w, i, 1)))) "
+        f"% {PORTABLE_MOD}"
+    )
+    toks = F.expr(
+        f"transform(regexp_extract_all(lower({text_col}), "
+        f"'{BPE_ISH_REGEX}', 0), w -> cast(({wh}) % {vocab_size} as int))"
+    )
+    cols = [F.col("doc_id"), toks.alias("tokens")]
+    out = docs.select(
+        *cols, *( [F.col(source_col)] if source_col else [] )
+    ).withColumn("n_tok", F.size("tokens"))
+    return out
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

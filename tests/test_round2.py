@@ -370,3 +370,66 @@ def test_random_plans_flat_equals_bucketed():
         np.testing.assert_allclose(ff, fb, rtol=1e-8, atol=1e-8)
         checked += 1
     assert checked >= 20  # the pool must actually exercise the flat path
+
+
+def test_tokenize_bridges_to_engine(spark):
+    """pipeline.tokenize: raw text -> the engine's token data model,
+    flowing straight into extract_features (documents -> ISS end to
+    end); ids are portable-hash folded into the vocab, so they are
+    deterministic and reproducible in pure Python."""
+    from fruits_spark.engine.executor import extract_features, feature_columns
+    from fruits_spark.pipeline import PORTABLE_MOD, BPE_ISH_REGEX, tokenize
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    import re
+
+    docs = spark.createDataFrame(
+        [(0, "Hello big world 42!", "s0"), (1, "a b a b a", "s1")],
+        "doc_id long, text string, source string",
+    )
+    out = tokenize(docs, vocab_size=1000)
+    rows = {r["doc_id"]: r for r in out.collect()}
+
+    def py_tok(text):
+        ids = []
+        for w in re.findall(BPE_ISH_REGEX, text.lower()):
+            a = sum(ord(c) * (i + 1) for i, c in enumerate(w))
+            b = sum(ord(c) for c in w)
+            ids.append(((48271 * a + 16807 * b) % PORTABLE_MOD) % 1000)
+        return ids
+    assert list(rows[0]["tokens"]) == py_tok("Hello big world 42!")
+    assert rows[0]["n_tok"] == len(py_tok("Hello big world 42!"))
+    # identical pieces -> identical ids
+    t1 = list(rows[1]["tokens"])
+    assert t1[0] == t1[2] == t1[4] and t1[1] == t1[3]
+
+    fplan = FruitPlan(
+        (Slice(iss=ISSSpec((W("[1]"),)), sieves=(Sieve("end"),)),)
+    )
+    fc = feature_columns(fplan)
+    feats = {r["doc_id"]: r[fc[0]]
+             for r in extract_features(out, fplan).collect()}
+    assert feats[0] == float(sum(py_tok("Hello big world 42!")))
+
+
+def test_embedding_near_dups_multi_union_recall(spark):
+    from fruits_spark.pipeline import (
+        embedding_near_dups, embedding_near_dups_multi,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(30, 16))
+    vecs = list(base) + [v + rng.normal(scale=0.01, size=16) for v in base[:5]]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    tables = [rng.choice([-1.0, 1.0], size=(6, 16)) for _ in range(3)]
+    single = {(r["id_a"], r["id_b"])
+              for r in embedding_near_dups(emb, tables[0], 0.9).collect()}
+    multi = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dups_multi(emb, tables, 0.9).collect()}
+    assert single <= multi          # OR-ing tables only adds recall
+    # the 5 planted near-dups (i, 30+i) should all be recovered by 3 tables
+    planted = {(i, 30 + i) for i in range(5)}
+    assert planted <= multi
