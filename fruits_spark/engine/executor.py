@@ -160,12 +160,20 @@ def _emit_streams_block(Zp: np.ndarray, specs: tuple, Z_orig=None):
     spec_i feeds spec_{i+1} as a univariate series)."""
     spec = specs[0]
     if isinstance(spec, Pl.CosWISSSpec):
-        for w in spec.words:
+        # cross-word CSE per frequency (coswiss_multi: words sharing a
+        # letter prefix share the scan chain, bit-identical results);
+        # emission stays word-major, so per-freq result lists are
+        # buffered — O(n_words) streams, bounded by the Arrow batch size
+        per_freq = {
+            f: KI.coswiss_multi(
+                Zp, [w.matrix for w in spec.words], f,
+                exponent=spec.exponent, total=spec.total,
+            )
+            for f in spec.freqs
+        }
+        for wi, w in enumerate(spec.words):
             for f in spec.freqs:
-                stream = KI.coswiss(
-                    Zp, w.matrix, f, exponent=spec.exponent,
-                    total=spec.total,
-                )
+                stream = per_freq[f][wi]
                 if len(specs) == 1:
                     yield stream
                 else:

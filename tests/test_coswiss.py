@@ -112,3 +112,22 @@ def test_dropout_zeroes_indices():
             tmp = np.cumsum(tmp, axis=1)
         expect += row[0] * tmp
     np.testing.assert_allclose(res, expect, rtol=1e-12)
+
+
+def test_coswiss_multi_bit_identical_to_per_word():
+    """Cross-word CSE (coswiss_multi) must return BIT-identical streams
+    to the per-word kernel for every word, exponent, and total mode —
+    sharing may only remove recomputation, never change op order."""
+    from fruits_spark.kernels.iss import coswiss_multi
+    from fruits_spark.words import of_weight
+
+    Z = RNG.normal(size=(5, 2, 32))
+    words = [w.matrix for w in of_weight(3, 2)] + [
+        w.matrix for w in of_weight(1, 2)
+    ]
+    for total in (False, True):
+        for s in (1, 2):
+            multi = coswiss_multi(Z, words, 0.5, exponent=s, total=total)
+            for wi, w in enumerate(words):
+                single = coswiss(Z, w, 0.5, exponent=s, total=total)
+                assert np.array_equal(multi[wi], single)
