@@ -371,14 +371,17 @@ def _emit_level_flat(seg, xp, spec, x_orig):
     from ..kernels import flat as KF
 
     if isinstance(spec, Pl.CosWISSSpec):
-        i = 0
-        for w in spec.words:
-            for f in spec.freqs:
-                yield i, KF.coswiss_flat(
-                    seg, xp, w.matrix, f, exponent=spec.exponent,
-                    total=spec.total,
-                )
-                i += 1
+        # cross-word CSE per frequency (bit-identical; see
+        # KF.coswiss_flat_multi); the flat emitter yields explicit
+        # stream indices, so per-freq batches emit directly
+        n_freqs = len(spec.freqs)
+        for fi, f in enumerate(spec.freqs):
+            streams = KF.coswiss_flat_multi(
+                seg, xp, [w.matrix for w in spec.words], f,
+                exponent=spec.exponent, total=spec.total,
+            )
+            for wi, stream in enumerate(streams):
+                yield wi * n_freqs + fi, stream
         return
     if spec.weighting is None:
         yield from _emit_level_flat_cse(seg, xp, spec)

@@ -466,6 +466,76 @@ def coswiss_flat(
     return result
 
 
+def coswiss_flat_multi(
+    seg: Seg,
+    x: np.ndarray,
+    words,
+    freq: float,
+    exponent: int = 2,
+    total: bool = False,
+) -> list[np.ndarray]:
+    """Flat-layout CosWISS for MANY univariate words of one frequency
+    with cross-word CSE (mirror of ``iss.coswiss_multi``): a word trie
+    over the gap-choice trie; per-word results bit-identical to
+    :func:`coswiss_flat` (same per-path op order, same lexicographic
+    leaf accumulation order)."""
+    from math import comb
+
+    f32 = float(np.float32(freq))
+    denom = f32 * np.maximum(seg.lengths - 1, 1).astype(np.float64)
+    g = np.pi * seg.pos / seg.broadcast(denom)
+    sin_w, cos_w = np.sin(g), np.cos(g)
+
+    letter_seqs = [tuple(int(e) for e in np.asarray(w)[:, 0]) for w in words]
+    children: dict[tuple, list] = {(): []}
+    ends: dict[tuple, int] = {}
+    for wi, ls in enumerate(letter_seqs):
+        for j in range(len(ls)):
+            node, nxt = ls[:j], ls[:j + 1]
+            kids = children.setdefault(node, [])
+            if nxt not in kids:
+                kids.append(nxt)
+            children.setdefault(nxt, [])
+        ends[ls] = wi
+    results = [np.zeros_like(x) for _ in words]
+
+    def step(state, e, k, sin_e, cos_e):
+        tmp = seg.shift1(state) if k > 0 else state
+        tmp = tmp * _pow1(x, e)
+        for _ in range(sin_e):
+            tmp = tmp * sin_w
+        for _ in range(cos_e):
+            tmp = tmp * cos_w
+        return seg.cumsum(tmp)
+
+    def dfs(node, state, coeff, prev):
+        k = len(node)
+        right_sin = (exponent - prev) if k > 0 else 0
+        right_cos = prev if k > 0 else 0
+        for child in children[node]:
+            e = child[-1]
+            wi = ends.get(child)
+            if wi is not None and not total:
+                st = step(state, e, k, right_sin, right_cos)
+                results[wi] += coeff * st
+            if children[child] or (wi is not None and total):
+                for c in range(exponent + 1):
+                    st = step(state, e, k,
+                              right_sin + (exponent - c), right_cos + c)
+                    if wi is not None and total:
+                        tmp = st
+                        for _ in range(exponent - c):
+                            tmp = tmp * sin_w
+                        for _ in range(c):
+                            tmp = tmp * cos_w
+                        results[wi] += (coeff * comb(exponent, c)) * tmp
+                    if children[child]:
+                        dfs(child, st, coeff * comb(exponent, c), c)
+
+    dfs((), np.ones_like(x), 1, 0)
+    return results
+
+
 # ---------------------------------------------------------------------------
 # sieves on flat streams
 # ---------------------------------------------------------------------------

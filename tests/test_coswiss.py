@@ -131,3 +131,26 @@ def test_coswiss_multi_bit_identical_to_per_word():
             for wi, w in enumerate(words):
                 single = coswiss(Z, w, 0.5, exponent=s, total=total)
                 assert np.array_equal(multi[wi], single)
+
+
+def test_coswiss_flat_multi_bit_identical():
+    import pandas as pd
+    from fruits_spark.kernels.flat import Seg, coswiss_flat, coswiss_flat_multi
+    from fruits_spark.kernels.segments import flatten_lists
+    from fruits_spark.words import of_weight
+
+    rows = [RNG.integers(0, 20, l).astype(np.float64)
+            for l in (5, 12, 1, 30, 8)]
+    values, offsets = flatten_lists(pd.Series(rows))
+    seg = Seg(offsets)
+    words = [w.matrix for w in of_weight(3, 1)] + [
+        w.matrix for w in of_weight(1, 1)
+    ]
+    for total in (False, True):
+        for s in (1, 2):
+            multi = coswiss_flat_multi(seg, values, words, 0.5,
+                                       exponent=s, total=total)
+            for wi, w in enumerate(words):
+                single = coswiss_flat(seg, values, w, 0.5,
+                                      exponent=s, total=total)
+                assert np.array_equal(multi[wi], single)
