@@ -162,8 +162,11 @@ def _emit_streams_block(Zp: np.ndarray, specs: tuple, Z_orig=None):
     if isinstance(spec, Pl.CosWISSSpec):
         # cross-word CSE per frequency (coswiss_multi: words sharing a
         # letter prefix share the scan chain, bit-identical results);
-        # emission stays word-major, so per-freq result lists are
-        # buffered — O(n_words) streams, bounded by the Arrow batch size
+        # emission stays word-major, which forces buffering ALL
+        # n_words * n_freqs streams of this spec (bounded by the Arrow
+        # batch size: ~1 MB per stream at 512 rows); each slot is
+        # released as soon as it is consumed so peak decays over the
+        # emission
         per_freq = {
             f: KI.coswiss_multi(
                 Zp, [w.matrix for w in spec.words], f,
@@ -174,6 +177,7 @@ def _emit_streams_block(Zp: np.ndarray, specs: tuple, Z_orig=None):
         for wi, w in enumerate(spec.words):
             for f in spec.freqs:
                 stream = per_freq[f][wi]
+                per_freq[f][wi] = None  # release once consumed
                 if len(specs) == 1:
                     yield stream
                 else:

@@ -488,7 +488,8 @@ def coswiss_flat_multi(
 
     letter_seqs = [tuple(int(e) for e in np.asarray(w)[:, 0]) for w in words]
     children: dict[tuple, list] = {(): []}
-    ends: dict[tuple, int] = {}
+    # duplicate letter sequences all share the stream (see iss.coswiss_multi)
+    ends: dict[tuple, list] = {}
     for wi, ls in enumerate(letter_seqs):
         for j in range(len(ls)):
             node, nxt = ls[:j], ls[:j + 1]
@@ -496,7 +497,7 @@ def coswiss_flat_multi(
             if nxt not in kids:
                 kids.append(nxt)
             children.setdefault(nxt, [])
-        ends[ls] = wi
+        ends.setdefault(ls, []).append(wi)
     results = [np.zeros_like(x) for _ in words]
 
     def step(state, e, k, sin_e, cos_e):
@@ -514,21 +515,23 @@ def coswiss_flat_multi(
         right_cos = prev if k > 0 else 0
         for child in children[node]:
             e = child[-1]
-            wi = ends.get(child)
-            if wi is not None and not total:
+            wis = ends.get(child, ())
+            if wis and not total:
                 st = step(state, e, k, right_sin, right_cos)
-                results[wi] += coeff * st
-            if children[child] or (wi is not None and total):
+                for wi in wis:
+                    results[wi] += coeff * st
+            if children[child] or (wis and total):
                 for c in range(exponent + 1):
                     st = step(state, e, k,
                               right_sin + (exponent - c), right_cos + c)
-                    if wi is not None and total:
+                    if wis and total:
                         tmp = st
                         for _ in range(exponent - c):
                             tmp = tmp * sin_w
                         for _ in range(c):
                             tmp = tmp * cos_w
-                        results[wi] += (coeff * comb(exponent, c)) * tmp
+                        for wi in wis:
+                            results[wi] += (coeff * comb(exponent, c)) * tmp
                     if children[child]:
                         dfs(child, st, coeff * comb(exponent, c), c)
 

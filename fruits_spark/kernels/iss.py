@@ -528,7 +528,10 @@ def coswiss_multi(
         letter_seqs.append(tuple(tuple(int(e) for e in row) for row in w))
 
     children: dict[tuple, list] = {(): []}
-    ends: dict[tuple, int] = {}
+    # a letter sequence may belong to SEVERAL word indices (duplicate
+    # words, or words that collapse after dim zero-padding) — every one
+    # of them must receive the shared stream
+    ends: dict[tuple, list] = {}
     for wi, ls in enumerate(letter_seqs):
         for j in range(len(ls)):
             node, nxt = ls[:j], ls[:j + 1]
@@ -536,7 +539,7 @@ def coswiss_multi(
             if nxt not in kids:
                 kids.append(nxt)
             children.setdefault(nxt, [])
-        ends[ls] = wi  # words are distinct per spec construction
+        ends.setdefault(ls, []).append(wi)
 
     results = [np.zeros((n, length), dtype=np.float64) for _ in words]
     letter_arr = {
@@ -557,19 +560,21 @@ def coswiss_multi(
         right_cos = prev if k > 0 else 0
         for child in children[node]:
             letter = letter_arr[child]
-            wi = ends.get(child)
-            if wi is not None and not total:
-                # word ends here: its last letter has no following gap
+            wis = ends.get(child, ())
+            if wis and not total:
+                # word(s) end here: the last letter has no following gap
                 st = step(state, letter, k, right_sin, right_cos)
-                results[wi] += coeff * st
-            if children[child] or (wi is not None and total):
+                for wi in wis:
+                    results[wi] += coeff * st
+            if children[child] or (wis and total):
                 for c in range(exponent + 1):
                     st = step(state, letter, k,
                               right_sin + (exponent - c), right_cos + c)
-                    if wi is not None and total:
+                    if wis and total:
                         tmp = _mul_pow(st, sin_w, exponent - c)
                         tmp = _mul_pow(tmp, cos_w, c)
-                        results[wi] += (coeff * comb(exponent, c)) * tmp
+                        for wi in wis:
+                            results[wi] += (coeff * comb(exponent, c)) * tmp
                     if children[child]:
                         dfs(child, st, coeff * comb(exponent, c), c)
 

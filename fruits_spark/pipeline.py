@@ -165,6 +165,18 @@ def _portable_hash(A, B, seed: int):
     )
 
 
+# the same hash as a self-contained SQL fragment over a lambda variable
+# ``w`` (seed 0) — single source of truth for every expression-level use
+# (simhash, tokenize); keep in sync with _portable_ab/_portable_hash
+PORTABLE_WORD_HASH_SQL = (
+    "(48271 * aggregate(sequence(1, length(w)), 0L, "
+    "(acc, i) -> acc + ascii(substring(w, i, 1)) * i) "
+    "+ 16807 * aggregate(sequence(1, length(w)), 0L, "
+    "(acc, i) -> acc + ascii(substring(w, i, 1)))) "
+    f"% {PORTABLE_MOD}"
+)
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -254,13 +266,7 @@ def simhash(
     if hash_fn == "portable":
         if bits > 31:
             raise ValueError("portable hash yields 31 bits")
-        wh = (
-            "(48271 * aggregate(sequence(1, length(w)), 0L, "
-            "(acc, i) -> acc + ascii(substring(w, i, 1)) * i) "
-            "+ 16807 * aggregate(sequence(1, length(w)), 0L, "
-            "(acc, i) -> acc + ascii(substring(w, i, 1)))) "
-            f"% {PORTABLE_MOD}"
-        )
+        wh = PORTABLE_WORD_HASH_SQL
     else:
         wh = "xxhash64(w)"
     # ONE aggregate pass folding all bit-sums at once: the word-hash
@@ -525,6 +531,8 @@ def embedding_near_dups_multi(
     several independent hyperplane draws and dedupe — each extra table
     multiplies recall at ~linear cost (the standard LSH amplification;
     each table is the same bucketed self-join, never all-pairs)."""
+    if not hyperplane_tables:
+        raise ValueError("embedding_near_dups_multi: need >= 1 hyperplane table")
     parts = [
         embedding_near_dups(emb, H, threshold, id_col)
         for H in hyperplane_tables
@@ -595,6 +603,7 @@ def tokenize(
     text_col: str = "text",
     vocab_size: int = 32768,
     source_col: str | None = "source",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Text -> pre-tokenized sequence table ``(doc_id, tokens
     array<int>, n_tok, source)`` — the bridge from a raw document
@@ -602,21 +611,22 @@ def tokenize(
     straight into ``extract_features`` / tier rollups).
 
     Pieces come from the BPE-ish regex; ids are the portable char-sum
-    hash folded into a fixed vocab (the hashing-vocabulary trick — no
-    trained merges, no driver-side vocabulary object).  Fully JVM-side:
-    one regexp pass + one transform, no shuffle."""
-    wh = (
-        "(48271 * aggregate(sequence(1, length(w)), 0L, "
-        "(acc, i) -> acc + ascii(substring(w, i, 1)) * i) "
-        "+ 16807 * aggregate(sequence(1, length(w)), 0L, "
-        "(acc, i) -> acc + ascii(substring(w, i, 1)))) "
-        f"% {PORTABLE_MOD}"
-    )
+    hash (PORTABLE_WORD_HASH_SQL) folded into a fixed vocab (the
+    hashing-vocabulary trick — no trained merges, no driver-side
+    vocabulary object).  Fully JVM-side: one regexp pass + one
+    transform, no shuffle.  Pass ``source_col=None`` for corpora
+    without a source column; ``id_col`` names the document id."""
+    if source_col is not None and source_col not in docs.columns:
+        raise ValueError(
+            f"tokenize: column {source_col!r} not in {docs.columns}; "
+            "pass source_col=None for corpora without one"
+        )
     toks = F.expr(
         f"transform(regexp_extract_all(lower({text_col}), "
-        f"'{BPE_ISH_REGEX}', 0), w -> cast(({wh}) % {vocab_size} as int))"
+        f"'{BPE_ISH_REGEX}', 0), "
+        f"w -> cast(({PORTABLE_WORD_HASH_SQL}) % {vocab_size} as int))"
     )
-    cols = [F.col("doc_id"), toks.alias("tokens")]
+    cols = [F.col(id_col).alias("doc_id"), toks.alias("tokens")]
     out = docs.select(
         *cols, *( [F.col(source_col)] if source_col else [] )
     ).withColumn("n_tok", F.size("tokens"))

@@ -154,3 +154,30 @@ def test_coswiss_flat_multi_bit_identical():
                 single = coswiss_flat(seg, values, w, 0.5,
                                       exponent=s, total=total)
                 assert np.array_equal(multi[wi], single)
+
+
+def test_coswiss_multi_duplicate_words_all_filled():
+    """Duplicate words (or words identical after dim padding) must each
+    receive the shared stream — not silently zero out."""
+    from fruits_spark.kernels.iss import coswiss_multi
+    import pandas as pd
+    from fruits_spark.kernels.flat import Seg, coswiss_flat_multi
+    from fruits_spark.kernels.segments import flatten_lists
+
+    Z = RNG.normal(size=(3, 2, 12))
+    w = W("[1][2]").matrix
+    w_padded = np.array([[1, 0], [0, 1]])  # same letters after padding
+    multi = coswiss_multi(Z, [w, w, w_padded], 0.5, exponent=1)
+    single = coswiss(Z, w, 0.5, exponent=1)
+    for r in multi:
+        assert np.array_equal(r, single)
+
+    rows = [RNG.integers(0, 9, l).astype(np.float64) for l in (4, 7)]
+    values, offsets = flatten_lists(pd.Series(rows))
+    seg = Seg(offsets)
+    wf = W("[1][1]").matrix
+    mf = coswiss_flat_multi(seg, values, [wf, wf], 0.5, exponent=2,
+                            total=True)
+    from fruits_spark.kernels.flat import coswiss_flat
+    sf = coswiss_flat(seg, values, wf, 0.5, exponent=2, total=True)
+    assert np.array_equal(mf[0], sf) and np.array_equal(mf[1], sf)
