@@ -1802,16 +1802,20 @@ WHERE rn <= 10
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (the third similarity-search path next to brute
-    force and LSH buckets): coarse-quantize every vector to its nearest
-    of 8 deterministic centroids (projection — no shuffle), probe each
-    query's top-2 lists, exact quantized cosine + two-phase top-5 on
-    the survivors.  The oracle implements the identical pruning, so the
-    match is value-exact."""
+    force and LSH buckets), now with a TRAINED coarse quantizer: 2
+    deterministic Lloyd k-means iterations (integer floor-div centroids,
+    assignment as an inlined-literal projection, update as one d-sum
+    hash aggregate — pipeline.train_ivf_centroids) refine the first-8
+    seed, then every vector coarse-quantizes to its nearest centroid
+    (projection — no shuffle), each query probes its top-2 lists, and
+    exact quantized cosine + two-phase top-5 ranks the survivors.  The
+    oracle replays the identical training as nested CTEs, so the match
+    is value-exact through the train step itself."""
     from fruits_spark.pipeline import ivf_topk
 
     return ivf_topk(
         _read(spark, sf_dir, "embeddings"),
-        n_centroids=8, n_queries=4, nprobe=2, k=5,
+        n_centroids=8, n_queries=4, nprobe=2, k=5, train_iters=2,
     ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("cand_id").cast("long").alias("cand_id"),
@@ -1820,7 +1824,52 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ANN_IVF = """
+def _ivf_train_ctes(n_cent: int, iters: int, d: int = 64) -> tuple[str, str]:
+    """DuckDB CTE chain replaying pipeline.train_ivf_centroids exactly:
+    cent0 = first-N seed; each Lloyd iteration is assign (argmax cosine,
+    ties to smaller cid) -> per-dimension integer sums -> floor-division
+    centroid components (``(s - ((s % cnt) + cnt) % cnt) / cnt`` is pure
+    integer floor-div, identical to Python's ``//``) -> recomputed
+    integer norms, with empty clusters keeping the previous centroid."""
+    parts = [
+        f"cent0 AS (SELECT vec_id AS cid, qvec AS cvec, qnorm AS cnorm "
+        f"FROM n WHERE vec_id < {n_cent})"
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""a{i} AS (
+    SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                   CAST(list_dot_product(n.qvec, c.cvec) AS BIGINT)
+                   / sqrt(CAST(c.cnorm AS DOUBLE)) DESC, c.cid) AS rn
+        FROM n CROSS JOIN cent{p} c
+    ) WHERE rn = 1
+)""")
+        parts.append(f"""s{i} AS (
+    SELECT a{i}.cid, t.range AS j,
+           SUM(list_extract(n.qvec, CAST(t.range AS INT))) AS s,
+           COUNT(*) AS cnt
+    FROM a{i} JOIN n USING (vec_id) CROSS JOIN range(1, {d + 1}) t
+    GROUP BY 1, 2
+)""")
+        parts.append(f"""v{i} AS (
+    SELECT cid, list(CAST((s - ((s % cnt) + cnt) % cnt) / cnt AS BIGINT)
+                     ORDER BY j) AS cvec
+    FROM s{i} GROUP BY cid
+)""")
+        parts.append(f"""cent{i} AS (
+    SELECT c.cid, COALESCE(v.cvec, c.cvec) AS cvec,
+           CAST(list_dot_product(COALESCE(v.cvec, c.cvec),
+                                 COALESCE(v.cvec, c.cvec)) AS BIGINT) AS cnorm
+    FROM cent{p} c LEFT JOIN v{i} v USING (cid)
+)""")
+    return ",\n".join(parts), f"cent{iters}"
+
+
+_IVF_CTES, _IVF_FINAL = _ivf_train_ctes(8, 2)
+
+SQL_ANN_IVF = f"""
 WITH q AS (
     SELECT vec_id,
            list_transform(embedding,
@@ -1832,15 +1881,12 @@ n AS (
            CAST(list_dot_product(qvec, qvec) AS BIGINT) AS qnorm
     FROM q
 ),
-cent AS (
-    SELECT vec_id AS cid, qvec AS cvec, qnorm AS cnorm FROM n
-    WHERE vec_id < 8
-),
+{_IVF_CTES},
 scored AS (
     SELECT n.vec_id, c.cid,
            CAST(list_dot_product(n.qvec, c.cvec) AS BIGINT)
                / sqrt(CAST(c.cnorm AS DOUBLE)) AS s
-    FROM n CROSS JOIN cent c
+    FROM n CROSS JOIN {_IVF_FINAL} c
 ),
 assign AS (
     SELECT vec_id, cid FROM (
@@ -2082,13 +2128,21 @@ GROUP BY doc_id
 
 
 def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming ingest (foreachBatch + availableNow): the
-    token table arrives as parquet files, each micro-batch is feature-
-    extracted and pre-aggregated into partial cells, and the compacted
-    tier must equal the batch rollup — which the DuckDB oracle computes
-    directly from the derived tokens."""
+    """Structured Streaming ingest, BOTH maintainers oracle-gated: the
+    token table arrives as parquet files and is rolled into tier cells
+    (a) by the default foreachBatch partials + compaction path and
+    (b) by the custom stateful ``applyInPandasWithState`` maintainer
+    (final state per key = the update row with max n_docs — monotone
+    per key).  Each path's cells are tagged (``path`` column) and
+    unioned; the DuckDB oracle computes the batch rollup once and
+    duplicates it per path, so a divergence in EITHER maintainer is a
+    hash mismatch (round-2 verdict: the stateful path was pytest-pinned
+    only)."""
     import os
     import tempfile
+    import uuid
+
+    from pyspark.sql import Window
 
     from fruits_spark import streaming as ST
     from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
@@ -2118,21 +2172,54 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("stream_rollup: availableNow batch not done "
                            "in 600s — refusing to compact partial data")
-    tier = ST.compact_tier(spark, base, fc).select(
-        "source",
-        F.col("bucket").cast("int").alias("bucket"),
-        F.col("n_docs").cast("long").alias("n_docs"),
-        F.col("sum_tok").cast("long").alias("sum_tok"),
-        F.col(f"sum_{fc[0]}").cast("long").alias("sum_end_1"),
-        F.col(f"max_{fc[1]}").cast("long").alias("max_end_11"),
+
+    def _cells(df, path):
+        return df.select(
+            F.lit(path).alias("path"),
+            "source",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_tok").cast("long").alias("sum_tok"),
+            F.col(f"sum_{fc[0]}").cast("long").alias("sum_end_1"),
+            F.col(f"max_{fc[1]}").cast("long").alias("max_end_11"),
+        )
+
+    tier = _cells(ST.compact_tier(spark, base, fc), "compact")
+
+    updates = ST.stateful_tier_updates(
+        spark, inp, fplan, n_buckets=8,
+        bucket_expr=(F.col("doc_id") % 8).cast("int"),
+        max_files_per_trigger=2,
+        schema="doc_id long, tokens array<int>, n_tok int, source string",
     )
-    # materialize (tiny: one row per tier cell) so the temp dir holding
-    # the token copy + partials can be removed before returning
-    pdf = tier.toPandas()
+    mem_name = f"stateful_cells_{uuid.uuid4().hex[:8]}"
+    sq = (
+        updates.writeStream.format("memory").queryName(mem_name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "_ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(600):
+        sq.stop()
+        raise TimeoutError("stream_rollup: stateful availableNow run "
+                           "not done in 600s")
+    w = Window.partitionBy("source", "bucket").orderBy(F.desc("n_docs"))
+    final = (
+        spark.sql(f"select * from {mem_name}")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    both = tier.unionByName(_cells(final, "stateful"))
+    # materialize (tiny: one row per tier cell per path) so the temp dir
+    # holding the token copy + partials + checkpoints can be removed
+    pdf = both.toPandas()
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(pdf, schema=tier.schema)
+    spark.catalog.dropTempView(mem_name)
+    return spark.createDataFrame(pdf, schema=both.schema)
 
 
 SQL_STREAM_ROLLUP = f"""
@@ -2144,15 +2231,19 @@ per_doc AS (
            SUM(x * x) AS end_11
     FROM toks
     GROUP BY doc_id, source
+),
+cells AS (
+    SELECT source,
+           CAST(doc_id % 8 AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           CAST(SUM(end_1) AS BIGINT) AS sum_end_1,
+           CAST(MAX(end_11) AS BIGINT) AS max_end_11
+    FROM per_doc
+    GROUP BY source, doc_id % 8
 )
-SELECT source,
-       CAST(doc_id % 8 AS INT) AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
-       CAST(SUM(end_1) AS BIGINT) AS sum_end_1,
-       CAST(MAX(end_11) AS BIGINT) AS max_end_11
-FROM per_doc
-GROUP BY source, doc_id % 8
+SELECT p.path, cells.*
+FROM cells CROSS JOIN (VALUES ('compact'), ('stateful')) AS p(path)
 """
 
 

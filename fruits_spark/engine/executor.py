@@ -163,10 +163,12 @@ def _emit_streams_block(Zp: np.ndarray, specs: tuple, Z_orig=None):
         # cross-word CSE per frequency (coswiss_multi: words sharing a
         # letter prefix share the scan chain, bit-identical results);
         # emission stays word-major, which forces buffering ALL
-        # n_words * n_freqs streams of this spec (bounded by the Arrow
-        # batch size: ~1 MB per stream at 512 rows); each slot is
-        # released as soon as it is consumed so peak decays over the
-        # emission
+        # n_words * n_freqs streams of this spec; callers bound the
+        # block to ~SPARK_GRAFT_TOKEN_BUDGET tokens (extract_features
+        # sub-batches both the flat and multivariate paths), so each
+        # stream is ~1.6 MB at the default budget regardless of the
+        # session's Arrow batch config; each slot is released as soon
+        # as it is consumed so peak decays over the emission
         per_freq = {
             f: KI.coswiss_multi(
                 Zp, [w.matrix for w in spec.words], f,
@@ -707,6 +709,16 @@ def extract_features(
         and not plan_has_pre(fplan)
     )
 
+    # Bound the per-call block size by token volume, not rows: a foreign
+    # SparkSession (no build_session arrow_batch=512) hands us Spark's
+    # default 10k-row Arrow batches, and CosWISS buffers
+    # n_words * n_freqs streams of (block_rows, l) during word-major
+    # emission — chunking here keeps that peak at the documented
+    # ~token_budget scale regardless of session config (ADVICE r2).
+    mv_token_budget = int(
+        os.environ.get("SPARK_GRAFT_TOKEN_BUDGET", "200000")
+    )
+
     def run_multivariate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -725,17 +737,24 @@ def extract_features(
                 idxs = np.nonzero(lengths == ln)[0]
                 if ln == 0:
                     continue
-                Z = np.array(
-                    [
-                        np.stack(
-                            [np.asarray(d, dtype=np.float64) for d in rows[i]]
-                        )
-                        for i in idxs
-                    ]
-                )
-                if cast_scale is not None:
-                    Z *= cast_scale
-                feats[idxs] = compute_features_block(Z, fplan)
+                n_dims = len(rows[idxs[0]])
+                chunk = max(1, mv_token_budget // max(1, int(ln) * n_dims))
+                for c0 in range(0, len(idxs), chunk):
+                    sub = idxs[c0:c0 + chunk]
+                    Z = np.array(
+                        [
+                            np.stack(
+                                [
+                                    np.asarray(d, dtype=np.float64)
+                                    for d in rows[i]
+                                ]
+                            )
+                            for i in sub
+                        ]
+                    )
+                    if cast_scale is not None:
+                        Z *= cast_scale
+                    feats[sub] = compute_features_block(Z, fplan)
             # single-block frame (no per-column inserts: pandas
             # fragmentation warning + O(cols) block copies on wide plans)
             out = pd.concat(

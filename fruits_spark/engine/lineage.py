@@ -145,7 +145,40 @@ def retire_runs(
     :mod:`fruits_spark.engine.io`).  Manifest rewrite is write-new-then-
     swap; a crash between the two renames is healed by
     :func:`recover_manifest` on the next read (the ``_retiring`` copy is
-    complete before the live manifest is ever moved aside)."""
+    complete before the live manifest is ever moved aside).
+
+    Retirement is serialized through an advisory lock file
+    (``_retire.lock``): two concurrent ``retire_runs`` calls on the same
+    base would otherwise race on the shared ``_retiring`` staging name —
+    B's ``recover_manifest(clean=True)`` can delete A's fully-written
+    staging copy between A's two renames.  The lock makes the second
+    caller wait instead of failing; crash-with-lock-held is harmless
+    because ``flock`` locks die with the process."""
+    import shutil
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _retire_lock():
+        import fcntl
+
+        os.makedirs(base, exist_ok=True)
+        fd = os.open(
+            os.path.join(base, "_retire.lock"), os.O_CREAT | os.O_RDWR
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    with _retire_lock():
+        _retire_locked(spark, base, tiers, run_ids)
+
+
+def _retire_locked(
+    spark: SparkSession, base: str, tiers: list[str], run_ids: list[str]
+) -> None:
     import shutil
 
     recover_manifest(base, clean=True)

@@ -349,6 +349,29 @@ def cosine_pairs(
     )
 
 
+#: per-(query, shard) group-size target for the partial top-k: the
+#: ``collect_list`` in phase 1 buffers a whole group before the slice,
+#: so the shard count must GROW with the candidate set to keep that
+#: buffer bounded (~100k structs ≈ a few MB) — a fixed ``shards=32``
+#: at 10^9 candidates would put ~3×10^7 structs in one
+#: ObjectHashAggregate buffer.
+TOPK_GROUP_TARGET = 100_000
+#: above this many shards, phase 2 merges through an intermediate
+#: tree level so no merge group ever collects more than
+#: ``TOPK_TREE_FANIN * k`` survivors.
+TOPK_TREE_FANIN = 64
+
+
+def adaptive_topk_shards(n_candidates: int) -> int:
+    """Shard count for :func:`_two_phase_topk` sized to the candidate
+    count: ``ceil(n / TOPK_GROUP_TARGET)``, floor 32 (keeps small inputs
+    parallel), cap ``TOPK_TREE_FANIN**2`` (with the tree merge that
+    bounds every phase at ~fan-in * k survivors up to ~4×10^11
+    candidates per query)."""
+    return max(32, min(TOPK_TREE_FANIN * TOPK_TREE_FANIN,
+                       -(-int(n_candidates) // TOPK_GROUP_TARGET)))
+
+
 def _two_phase_topk(pairs: DataFrame, k: int, shards: int) -> DataFrame:
     """Scale-safe exact top-k per query over (query_id, cand_id,
     cosine_r6) pairs.
@@ -358,10 +381,15 @@ def _two_phase_topk(pairs: DataFrame, k: int, shards: int) -> DataFrame:
     k)`` — a hash aggregate with map-side combine, so no single task
     ever sorts more than its own partition's rows.  Phase 2 merges the
     ``shards * k`` survivors per query (a bounded set) the same way and
-    posexplodes ranks.  The sort key ascending (-cosine, cand_id) ==
-    (cosine desc, cand_id asc), matching the window oracle's tie-break.
-    Replaces the per-query full-N window sort that was the one
-    per-query single-reducer hotspot at 10^9 candidates."""
+    posexplodes ranks; when ``shards > TOPK_TREE_FANIN`` an extra tree
+    level (merge by ``pmod(_shard, fan-in)`` first) keeps every merge
+    group at ≤ ``TOPK_TREE_FANIN * k`` survivors.  Callers size
+    ``shards`` with :func:`adaptive_topk_shards` so phase-1 groups stay
+    ~``TOPK_GROUP_TARGET`` rows regardless of N.  The sort key ascending
+    (-cosine, cand_id) == (cosine desc, cand_id asc), matching the
+    window oracle's tie-break.  Replaces the per-query full-N window
+    sort that was the one per-query single-reducer hotspot at 10^9
+    candidates."""
     item = F.struct(
         (-F.col("cosine_r6")).alias("neg"),
         F.col("cand_id").alias("cand_id"),
@@ -373,6 +401,15 @@ def _two_phase_topk(pairs: DataFrame, k: int, shards: int) -> DataFrame:
             F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("top")
         )
     )
+    if shards > TOPK_TREE_FANIN:
+        partial = (
+            partial.select("query_id", "_shard", F.explode("top").alias("it"))
+            .groupBy(
+                "query_id",
+                F.pmod("_shard", F.lit(TOPK_TREE_FANIN)).alias("_shard"),
+            )
+            .agg(F.slice(F.array_sort(F.collect_list("it")), 1, k).alias("top"))
+        )
     merged = (
         partial.select("query_id", F.explode("top").alias("it"))
         .groupBy("query_id")
@@ -393,10 +430,15 @@ def cosine_topk(
     n_queries: int = 5,
     k: int = 10,
     id_col: str = "vec_id",
-    shards: int = 32,
+    shards: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query via the two-phase partial top-k
-    (see :func:`_two_phase_topk`) over brute-force scores."""
+    (see :func:`_two_phase_topk`) over brute-force scores.  ``shards``
+    defaults to :func:`adaptive_topk_shards` of the candidate count (one
+    cheap metadata-level ``count()``), so phase-1 buffers stay bounded
+    at any N; pass an explicit value to skip the count job."""
+    if shards is None:
+        shards = adaptive_topk_shards(emb.count())
     pairs = cosine_pairs(emb, n_queries, threshold=-1.1, id_col=id_col)
     return _two_phase_topk(pairs, k, shards)
 
@@ -416,6 +458,62 @@ def ivf_centroid_rows(emb: DataFrame, n_centroids: int, id_col: str = "vec_id"):
     )
     return [(int(r["cid"]), [int(v) for v in r["qvec"]], int(r["qnorm"]))
             for r in rows]
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+):
+    """Deterministic distributed Lloyd k-means for the IVF coarse
+    quantizer (the trained replacement for the first-N seed that round-2
+    shipped).
+
+    Each iteration is fully JVM-side: assignment is a pure projection
+    (centroids inlined as literals via :func:`_ivf_sorted_centroids` —
+    no join, no shuffle to assign), and the update is ONE hash aggregate
+    of ``d`` per-dimension integer sums + a count per centroid
+    (map-side combine; the shuffle moves ``n_centroids`` rows of ``d``
+    longs).  New centroid components are integer floor-divisions
+    ``sum // count`` — exact in any engine, so the whole train is
+    reproducible bit-for-bit (assignment scores are integer dots over
+    quantized vectors divided by ``sqrt`` of an exactly-representable
+    integer norm; ties break to the smaller centroid id).  Empty
+    clusters keep their previous centroid.  Per-iteration driver
+    materialization is ``n_centroids`` rows — bounded like the fit
+    sample.  Returns ``[(cid, cvec:list[int], cnorm:int), ...]``."""
+    cents = ivf_centroid_rows(emb, n_centroids, id_col)
+    q = quantize_embeddings(emb)
+    d = len(cents[0][1])
+    for _ in range(iters):
+        sorted_cents = _ivf_sorted_centroids(cents)
+        assigned = q.select(
+            F.element_at(sorted_cents, 1)["cid"].alias("cid"),
+            "qvec",
+        )
+        rows = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(F.element_at(F.col("qvec"), j + 1)).alias(f"s{j}")
+                    for j in range(d)
+                ],
+            )
+            .collect()
+        )
+        updated = {
+            int(r["cid"]): [int(r[f"s{j}"]) // int(r["cnt"]) for j in range(d)]
+            for r in rows
+        }
+        cents = [
+            (cid, updated.get(cid, cvec)) for cid, cvec, _ in cents
+        ]
+        cents = [
+            (cid, v, sum(x * x for x in v)) for cid, v in cents
+        ]
+    return cents
 
 
 def _ivf_sorted_centroids(cents):
@@ -446,7 +544,8 @@ def ivf_topk(
     nprobe: int = 2,
     k: int = 5,
     id_col: str = "vec_id",
-    shards: int = 32,
+    shards: int | None = None,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its best centroid
     (a pure projection — centroids are inlined literals, so no join or
@@ -456,8 +555,18 @@ def ivf_topk(
     :func:`cosine_topk`.  The list join shuffles on ``cid`` — bounded
     inverted lists, never all pairs.  Recall is tuned by (n_centroids,
     nprobe); both engines implement the identical pruning, so results
-    are value-exact, not just statistically close."""
-    cents = ivf_centroid_rows(emb, n_centroids, id_col)
+    are value-exact, not just statistically close.  ``train_iters``
+    Lloyd iterations (:func:`train_ivf_centroids`) refine the coarse
+    quantizer before assignment; 0 falls back to the first-N seed."""
+    if shards is None:
+        # expected survivors per query ~ N * nprobe / n_centroids
+        shards = adaptive_topk_shards(
+            emb.count() * nprobe // max(1, n_centroids)
+        )
+    if train_iters > 0:
+        cents = train_ivf_centroids(emb, n_centroids, train_iters, id_col)
+    else:
+        cents = ivf_centroid_rows(emb, n_centroids, id_col)
     q = quantize_embeddings(emb)
     sorted_cents = _ivf_sorted_centroids(cents)
     cand = q.select(

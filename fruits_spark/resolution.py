@@ -18,6 +18,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 def downsample(col: str, resolution: float = 0.5) -> Column:
     """Coarser series: keep every n-th value, n = int(1/resolution)
     (ref data.py:389-402)."""
+    if not 0.0 < resolution <= 1.0:
+        raise ValueError(
+            f"resolution must be in (0, 1], got {resolution}"
+        )
     n = int(1 / resolution)
     return F.expr(
         f"transform(sequence(0, size({col}) - 1, {n}), "

@@ -1,0 +1,164 @@
+"""Round-3 fixes: ADVICE findings (downsample validation, concurrent
+retire serialization, bounded multivariate blocks) and new depth work."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import fruits_spark.engine.executor as EX
+import fruits_spark.engine.lineage as LI
+from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+from fruits_spark.words import W
+
+
+def test_downsample_rejects_bad_resolution(spark):
+    from fruits_spark.resolution import downsample
+
+    for bad in (1.5, 0.0, -0.5, 2):
+        with pytest.raises(ValueError, match="resolution"):
+            downsample("tokens", bad)
+    downsample("tokens", 1.0)  # boundary ok
+    downsample("tokens", 0.25)
+
+
+def test_retire_runs_concurrent_serialize(spark, tmp_path):
+    """Two concurrent retire_runs on the same base must both succeed
+    (serialized by the advisory lock) and leave a consistent manifest —
+    previously B's clean-up could delete A's staged manifest mid-swap."""
+    base = str(tmp_path / "tiers")
+    cells = spark.createDataFrame(
+        [(f"s{i}", b, 10, 100) for i in range(2) for b in range(4)],
+        "source string, bucket int, n_docs long, sum_tok long",
+    )
+    for rid in ("r1", "r2", "r3", "r4", "keep"):
+        LI.commit_cells(cells, spark, base, rid, "t1k", n_points_per_doc=1)
+
+    errs = []
+    barrier = threading.Barrier(2)
+
+    def retire(runs):
+        try:
+            barrier.wait()
+            LI.retire_runs(spark, base, ["t1k"], runs)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=retire, args=(rs,))
+        for rs in (["r1", "r2"], ["r3", "r4"])
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    m = spark.read.parquet(LI.manifest_path(base))
+    left = {r["run_id"] for r in m.select("run_id").distinct().collect()}
+    assert left == {"keep"}
+    assert m.count() == 8
+
+
+def test_multivariate_block_chunking_matches_unchunked(spark, monkeypatch):
+    """A tiny token budget forces run_multivariate to chunk each
+    per-length block (bounding CosWISS stream buffering for foreign
+    sessions with big Arrow batches); features must be identical."""
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, rng.normal(size=(2, 13)).tolist(), "s", 13) for i in range(9)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, dims array<array<double>>, source string, n_tok int",
+    )
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec((W("[1]"), W("[12]"), W("[1][2]"))),
+                sieves=(Sieve("end"), Sieve("max")),
+            ),
+        )
+    )
+    fcols = EX.feature_columns(fplan)
+
+    def run():
+        return (
+            EX.extract_features(df, fplan, tokens_col="dims", multivariate=True)
+            .toPandas()
+            .sort_values("doc_id")[fcols]
+            .to_numpy()
+        )
+
+    base = run()
+    monkeypatch.setenv("SPARK_GRAFT_TOKEN_BUDGET", "30")  # chunk = 1 row
+    chunked = run()
+    np.testing.assert_array_equal(base, chunked)
+
+
+def _emb_df(spark, n=80, d=8, seed=5):
+    rng = np.random.default_rng(seed)
+    return spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=d)]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_adaptive_topk_shards_bounds():
+    from fruits_spark.pipeline import (
+        TOPK_GROUP_TARGET, TOPK_TREE_FANIN, adaptive_topk_shards,
+    )
+
+    assert adaptive_topk_shards(0) == 32
+    assert adaptive_topk_shards(500) == 32  # floor keeps small inputs parallel
+    assert adaptive_topk_shards(10**8) == -(-10**8 // TOPK_GROUP_TARGET)
+    # per-group buffer stays ~TARGET until the cap
+    n = 10**8
+    assert n / adaptive_topk_shards(n) <= TOPK_GROUP_TARGET
+    assert adaptive_topk_shards(10**15) == TOPK_TREE_FANIN**2  # capped
+
+
+def test_topk_tree_merge_matches_flat(spark):
+    """shards > TOPK_TREE_FANIN routes phase 2 through the tree level;
+    results must equal the small-shard (flat) merge exactly."""
+    from fruits_spark.pipeline import cosine_topk
+
+    emb = _emb_df(spark)
+    flat = cosine_topk(emb, n_queries=3, k=5, shards=4).collect()
+    tree = cosine_topk(emb, n_queries=3, k=5, shards=100).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, flat), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, tree), key=lambda t: (t[0], t[3])
+    )
+    # default (adaptive) path also agrees
+    auto = cosine_topk(emb, n_queries=3, k=5).collect()
+    assert {key(r): r["cand_id"] for r in auto} == {
+        key(r): r["cand_id"] for r in flat
+    }
+
+
+def test_trained_ivf_full_probe_matches_bruteforce(spark):
+    """k-means-trained centroids with nprobe == n_centroids must still
+    return the exact brute-force top-k (training only moves list
+    boundaries, not scores), and training must be deterministic."""
+    from fruits_spark.pipeline import cosine_topk, ivf_topk, train_ivf_centroids
+
+    emb = _emb_df(spark, n=60)
+    got = ivf_topk(emb, n_centroids=4, n_queries=2, nprobe=4, k=6,
+                   shards=4, train_iters=2).collect()
+    want = cosine_topk(emb, n_queries=2, k=6, shards=4).collect()
+    gm = {(r["query_id"], r["rank"]): r["cand_id"] for r in got}
+    wm = {(r["query_id"], r["rank"]): r["cand_id"] for r in want}
+    assert gm == wm
+
+    c1 = train_ivf_centroids(emb, 4, iters=2)
+    c2 = train_ivf_centroids(emb, 4, iters=2)
+    assert c1 == c2
+    # integer centroids with consistent norms
+    for cid, cvec, cnorm in c1:
+        assert all(isinstance(v, int) for v in cvec)
+        assert cnorm == sum(v * v for v in cvec)
+    # training actually moved the centroids off the first-N seed
+    from fruits_spark.pipeline import ivf_centroid_rows
+
+    seed = ivf_centroid_rows(emb, 4)
+    assert [c[1] for c in c1] != [s[1] for s in seed]
