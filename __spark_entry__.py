@@ -1248,13 +1248,31 @@ FROM documents d JOIN fp ON d.doc_id = fp.doc_id
 """
 
 
+# deterministic non-latin injections: every 13th document is replaced
+# by a Russian / Chinese / Japanese sentence (same CASE in the oracle),
+# so the script-range detector stage is exercised by the gate
+_LANG_RU = "синтаксис потока данных и проверка качества текста"
+_LANG_ZH = "数据质量检查与流水线处理系统的并行计算"
+_LANG_JA = "データの品質を検査するシステムです"
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-stopword language heuristic, generic over the 6-language
-    marker table, with priority tie-break and marker-density
-    confidence."""
+    """Two-stage language id: unicode script-range detector (Han/kana ->
+    zh/ja, Cyrillic -> ru, integer 3/10-of-chars threshold) in front of
+    the 6-language latin marker table with priority tie-break and
+    marker-density confidence.  Every 13th doc is deterministically
+    replaced with a ru/zh/ja sentence so the non-latin stage is value-
+    checked, not just present."""
     from fruits_spark.pipeline import lang_id
 
-    out = lang_id(_read(spark, sf_dir, "documents"))
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(_LANG_RU))
+        .when(F.col("doc_id") % 13 == 1, F.lit(_LANG_ZH))
+        .when(F.col("doc_id") % 13 == 2, F.lit(_LANG_JA))
+        .otherwise(F.col("text")),
+    )
+    out = lang_id(docs)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "labelled_lang",
@@ -1267,10 +1285,22 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_LANG_ID = """
-WITH s AS (
+SQL_LANG_ID = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+        CASE WHEN doc_id % 13 = 0 THEN '{_LANG_RU}'
+             WHEN doc_id % 13 = 1 THEN '{_LANG_ZH}'
+             WHEN doc_id % 13 = 2 THEN '{_LANG_JA}'
+             ELSE text END AS text
+    FROM documents
+),
+s AS (
     SELECT doc_id, lang AS labelled_lang,
         len(string_split(lower(text), ' ')) AS nw,
+        length(text) AS nc,
+        length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_han,
+        length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) AS n_kana,
+        length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS n_cyr,
         len(list_filter(string_split(lower(text), ' '),
             w -> w IN ('the','a','of','and','is'))) AS s_en,
         len(list_filter(string_split(lower(text), ' '),
@@ -1283,17 +1313,17 @@ WITH s AS (
             w -> w IN ('il','che','di','per','sono'))) AS s_it,
         len(list_filter(string_split(lower(text), ' '),
             w -> w IN ('het','een','van','dat','niet'))) AS s_nl
-    FROM documents
+    FROM d
 ),
 best AS (
     SELECT doc_id,
            list_sort([
-               {'neg': -s_en, 'pri': 0, 'lang': 'en'},
-               {'neg': -s_es, 'pri': 1, 'lang': 'es'},
-               {'neg': -s_de, 'pri': 2, 'lang': 'de'},
-               {'neg': -s_fr, 'pri': 3, 'lang': 'fr'},
-               {'neg': -s_it, 'pri': 4, 'lang': 'it'},
-               {'neg': -s_nl, 'pri': 5, 'lang': 'nl'}
+               {{'neg': -s_en, 'pri': 0, 'lang': 'en'}},
+               {{'neg': -s_es, 'pri': 1, 'lang': 'es'}},
+               {{'neg': -s_de, 'pri': 2, 'lang': 'de'}},
+               {{'neg': -s_fr, 'pri': 3, 'lang': 'fr'}},
+               {{'neg': -s_it, 'pri': 4, 'lang': 'it'}},
+               {{'neg': -s_nl, 'pri': 5, 'lang': 'nl'}}
            ])[1] AS b
     FROM s
 )
@@ -1302,8 +1332,15 @@ SELECT CAST(s.doc_id AS BIGINT) AS doc_id, labelled_lang,
        CAST(s_es AS BIGINT) AS s_es,
        CAST(s_it AS BIGINT) AS s_it,
        CAST(s_nl AS BIGINT) AS s_nl,
-       b.lang AS pred_lang,
-       ROUND(CAST(-b.neg AS DOUBLE) / nw, 6) AS conf_r6
+       CASE WHEN (n_han + n_kana) * 10 > nc * 3 AND n_kana > 0 THEN 'ja'
+            WHEN (n_han + n_kana) * 10 > nc * 3 THEN 'zh'
+            WHEN n_cyr * 10 > nc * 3 THEN 'ru'
+            ELSE b.lang END AS pred_lang,
+       CASE WHEN (n_han + n_kana) * 10 > nc * 3
+                THEN ROUND(CAST(n_han + n_kana AS DOUBLE) / nc, 6)
+            WHEN n_cyr * 10 > nc * 3
+                THEN ROUND(CAST(n_cyr AS DOUBLE) / nc, 6)
+            ELSE ROUND(CAST(-b.neg AS DOUBLE) / nw, 6) END AS conf_r6
 FROM s JOIN best ON s.doc_id = best.doc_id
 """
 
@@ -1311,39 +1348,63 @@ FROM s JOIN best ON s.doc_id = best.doc_id
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary columns, end to end: deterministic FRB1 frame
-    containers (fruits_spark.multimodal) are encoded per document,
-    decoded in a mapInPandas kernel (header -> typed metadata, payload
-    -> per-frame pixel sums), and the per-frame sum series is fed
-    through the ISS engine ([1] and [1][1] ENDs).  The oracle recomputes
-    everything from the integer pixel formula, so any byte error in the
-    container, the decode, or the frame slicing fails the value match."""
-    from fruits_spark.multimodal import decode_frames, synth_frame_blobs
+    """Multimodal binary columns, end to end, over TWO container
+    formats: (a) deterministic FRB1 frame containers (synthetic video
+    stand-in; batched decode — one frombuffer + one add.reduceat per
+    Arrow batch) and (b) REAL RIFF/WAVE PCM16 files (public audio
+    format, byte-compatible with any WAV reader).  Each decode emits a
+    typed-metadata row + an integer series (per-frame pixel sums /
+    int16 samples) fed through the same ISS engine ([1] and [1][1]
+    ENDs); results are unioned with a ``fmt`` tag.  The oracle
+    recomputes both from their integer formulas, so any byte error in
+    either container, decode, or slicing fails the value match."""
+    from fruits_spark.multimodal import (
+        decode_frames, decode_wav, synth_frame_blobs, synth_wav_blobs,
+    )
     from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
     from fruits_spark.words import W
     from fruits_spark.engine.executor import extract_features, feature_columns
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
-    dec = decode_frames(synth_frame_blobs(docs)).withColumn(
-        "n_tok", F.col("n_frames")
-    )
     fplan = FruitPlan(
         (Slice(iss=ISSSpec((W("[1]"), W("[1][1]"))), sieves=(Sieve("end"),)),)
     )
     fc = feature_columns(fplan)
-    out = extract_features(
+
+    dec = decode_frames(synth_frame_blobs(docs)).withColumn(
+        "n_tok", F.col("n_frames")
+    )
+    frb = extract_features(
         dec, fplan, tokens_col="frame_sums",
         keep=("doc_id", "n_frames", "width", "height", "n_bytes"),
-    )
-    return out.select(
+    ).select(
+        F.lit("frb1").alias("fmt"),
         "doc_id",
-        F.col("n_frames").cast("int").alias("n_frames"),
-        F.col("width").cast("int").alias("width"),
-        F.col("height").cast("int").alias("height"),
+        F.col("n_frames").cast("int").alias("n_units"),
+        F.col("width").cast("int").alias("meta1"),
+        F.col("height").cast("int").alias("meta2"),
         F.col("n_bytes").cast("int").alias("n_bytes"),
         F.col(fc[0]).cast("long").alias("frame_end_1"),
         F.col(fc[1]).cast("long").alias("frame_end_1_1"),
     )
+
+    wdec = decode_wav(synth_wav_blobs(docs)).withColumn(
+        "n_tok", F.col("n_samples")
+    )
+    wav = extract_features(
+        wdec, fplan, tokens_col="samples",
+        keep=("doc_id", "n_samples", "sample_rate", "bits", "n_bytes"),
+    ).select(
+        F.lit("wav").alias("fmt"),
+        "doc_id",
+        F.col("n_samples").cast("int").alias("n_units"),
+        F.col("sample_rate").cast("int").alias("meta1"),
+        F.col("bits").cast("int").alias("meta2"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col(fc[0]).cast("long").alias("frame_end_1"),
+        F.col(fc[1]).cast("long").alias("frame_end_1_1"),
+    )
+    return frb.unionByName(wav)
 
 
 SQL_MULTIMODAL_FRAMES = """
@@ -1368,16 +1429,43 @@ runs AS (
            SUM(fsum) OVER (PARTITION BY doc_id ORDER BY f
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run1
     FROM fs
+),
+wavs AS (
+    SELECT doc_id, ns, i,
+           ((doc_id + 1) * 17 + i * 13) % 65536 - 32768 AS v
+    FROM (
+        SELECT doc_id, doc_id % 50 + 20 AS ns,
+               unnest(range(0, doc_id % 50 + 20)) AS i
+        FROM documents
+    )
+),
+wruns AS (
+    SELECT doc_id, ns, i, v,
+           SUM(v) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run1
+    FROM wavs
 )
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(nf AS INT) AS n_frames,
-       CAST(w AS INT) AS width,
-       CAST(h AS INT) AS height,
+SELECT 'frb1' AS fmt,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(nf AS INT) AS n_units,
+       CAST(w AS INT) AS meta1,
+       CAST(h AS INT) AS meta2,
        CAST(4 + nf * w * h AS INT) AS n_bytes,
        CAST(SUM(fsum) AS BIGINT) AS frame_end_1,
        CAST(SUM(fsum * (run1 - fsum)) AS BIGINT) AS frame_end_1_1
 FROM runs
 GROUP BY doc_id, nf, w, h
+UNION ALL
+SELECT 'wav' AS fmt,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ns AS INT) AS n_units,
+       8000 AS meta1,
+       16 AS meta2,
+       CAST(44 + 2 * ns AS INT) AS n_bytes,
+       CAST(SUM(v) AS BIGINT) AS frame_end_1,
+       CAST(SUM(v * (run1 - v)) AS BIGINT) AS frame_end_1_1
+FROM wruns
+GROUP BY doc_id, ns
 """
 
 

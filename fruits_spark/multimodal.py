@@ -1,14 +1,20 @@
 """Multimodal binary columns: a deterministic frame container + decode.
 
 Media payloads (image / audio / video) travel through the engine as
-opaque ``binary`` columns with typed metadata.  This module defines the
-deterministic FRB1 container used by the synthetic corpus and the
-Arrow-batched decode path — the *plumbing* (schema, partitioning, UDF
-signature, batch shape, header validation, per-frame feature reduction)
-is real and tested end-to-end; only the media codec itself is synthetic
-(PIL / torchvision / ffmpeg are not available in this environment — a
-production build swaps :func:`_synth_payload` for a real decoder inside
-the same ``mapInPandas`` kernel).
+opaque ``binary`` columns with typed metadata.  This module defines two
+containers through the same ``mapInPandas`` decode seam:
+
+* **FRB1** — the deterministic synthetic frame container (video
+  stand-in; PIL / torchvision / ffmpeg are not available in this
+  environment, so the codec is synthetic while the plumbing — schema,
+  partitioning, UDF signature, batch shape, header validation,
+  per-frame feature reduction — is real and tested end-to-end).
+* **RIFF/WAVE PCM16** — a REAL public audio format: the synthesizer
+  emits canonical 44-byte-header WAV files readable by any standard
+  WAV reader (pinned against the stdlib ``wave`` module), and
+  :func:`decode_wav` parses the RIFF structure with pure numpy.
+  A production build swaps/extends the chunk parser the same way it
+  would swap :func:`_synth_payload` for a compressed codec.
 
 FRB1 layout (all uint8):
     byte 0      magic 0x46 ('F')
@@ -88,26 +94,163 @@ def decode_frames(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            # batched decode (round-3): ONE np.frombuffer over the
+            # concatenated blobs + a single add.reduceat for every
+            # frame sum in the batch, instead of a per-blob Python
+            # loop — the per-row interpreter overhead dominated media
+            # throughput for small frames
+            bufs = [bytes(b) for b in pdf["blob"]]
+            lens = np.fromiter(
+                (len(b) for b in bufs), dtype=np.int64, count=n
+            )
+            if (lens < 4).any():
+                raise ValueError("not an FRB1 blob")
+            arr = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+            if (arr[starts] != FRB1_MAGIC).any():
+                raise ValueError("not an FRB1 blob")
+            nf = arr[starts + 1].astype(np.int64)
+            w = arr[starts + 2].astype(np.int64)
+            h = arr[starts + 3].astype(np.int64)
+            if (nf < 1).any() or (lens != 4 + nf * w * h).any():
+                raise ValueError("FRB1 payload length mismatch")
+            total_frames = int(nf.sum())
+            fsize = w * h
+            cum_nf = np.cumsum(nf)
+            within = np.arange(total_frames) - np.repeat(cum_nf - nf, nf)
+            fstarts = (
+                np.repeat(starts + 4, nf) + within * np.repeat(fsize, nf)
+            )
+            # reduceat boundaries: per doc [header_start, frame starts...]
+            # — the 4-byte header segment separates doc payloads and is
+            # discarded afterwards
+            bounds = np.empty(n + total_frames, dtype=np.int64)
+            is_frame = np.ones(n + total_frames, dtype=bool)
+            hpos = np.arange(n) + np.concatenate(([0], cum_nf[:-1]))
+            is_frame[hpos] = False
+            bounds[hpos] = starts
+            bounds[is_frame] = fstarts
+            sums = np.add.reduceat(arr.astype(np.int64), bounds)
+            frame_sums = np.split(
+                sums[is_frame].astype(np.int32), cum_nf[:-1]
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_frames": nf.astype(np.int32),
+                    "width": w.astype(np.int32),
+                    "height": h.astype(np.int32),
+                    "n_bytes": lens.astype(np.int32),
+                    "frame_sums": frame_sums,
+                }
+            )
+
+    return blobs.mapInPandas(dec, schema)
+
+
+# ---------------------------------------------------------------------------
+# WAV — a real public uncompressed container through the same seam
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+
+#: deterministic PCM16 sample formula shared with the DuckDB oracle:
+#: sample(doc, i) = ((doc_id + 1) * 17 + i * 13) % 65536 - 32768
+
+
+def synth_wav_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Standard RIFF/WAVE PCM16-mono files per document (canonical
+    44-byte header + little-endian int16 samples) — a REAL public
+    format, byte-compatible with any WAV reader, proving the binary-
+    column seam beyond the synthetic FRB1 container.  n_samples =
+    doc_id % 50 + 20; samples follow the integer formula above."""
+    import pandas as pd
+    import struct
+
+    schema = f"{id_col} long, blob binary"
+
+    def enc(batches):
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                ns = d % 50 + 20
+                i = np.arange(ns, dtype=np.int64)
+                pcm = (((d + 1) * 17 + i * 13) % 65536 - 32768).astype(
+                    "<i2"
+                )
+                data = pcm.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack(
+                        "<IHHIIHH",
+                        16, 1, 1, WAV_SAMPLE_RATE,
+                        WAV_SAMPLE_RATE * 2, 2, 16,
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                blobs.append(hdr + data)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "blob": blobs}
+            )
+
+    return docs.select(id_col).mapInPandas(enc, schema)
+
+
+def decode_wav(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Parse RIFF/WAVE PCM16 blobs: validate the RIFF/WAVE/fmt/data
+    structure, extract typed metadata (sample_rate, bits) and the int16
+    sample series — the audio analogue of :func:`decode_frames`, ready
+    for the ISS kernels.  Rejects non-PCM16-mono or malformed
+    containers."""
+    import pandas as pd
+    import struct
+
+    schema = (
+        f"{id_col} long, n_samples int, sample_rate int, bits int, "
+        "n_bytes int, samples array<int>"
+    )
+
+    def dec(batches):
+        import numpy as np
+
+        for pdf in batches:
             rows = {
                 id_col: pdf[id_col].astype("int64"),
-                "n_frames": [], "width": [], "height": [],
-                "n_bytes": [], "frame_sums": [],
+                "n_samples": [], "sample_rate": [], "bits": [],
+                "n_bytes": [], "samples": [],
             }
             for b in pdf["blob"]:
-                arr = np.frombuffer(bytes(b), dtype=np.uint8)
-                if len(arr) < 4 or arr[0] != FRB1_MAGIC:
-                    raise ValueError("not an FRB1 blob")
-                nf, w, h = int(arr[1]), int(arr[2]), int(arr[3])
-                if len(arr) != 4 + nf * w * h:
-                    raise ValueError("FRB1 payload length mismatch")
-                frames = arr[4:].astype(np.int64).reshape(nf, w * h)
-                rows["n_frames"].append(nf)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["n_bytes"].append(len(arr))
-                rows["frame_sums"].append(
-                    frames.sum(axis=1).astype(np.int32)
+                b = bytes(b)
+                if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE blob")
+                if b[12:16] != b"fmt ":
+                    raise ValueError("missing fmt chunk")
+                (fmt_len, audio_fmt, n_ch, sr, _br, _ba, bits) = (
+                    struct.unpack("<IHHIIHH", b[16:36])
                 )
+                if fmt_len != 16 or audio_fmt != 1 or n_ch != 1 or bits != 16:
+                    raise ValueError("only PCM16 mono supported")
+                if b[36:40] != b"data":
+                    raise ValueError("missing data chunk")
+                (data_len,) = struct.unpack("<I", b[40:44])
+                if len(b) != 44 + data_len or data_len % 2:
+                    raise ValueError("WAV data length mismatch")
+                pcm = np.frombuffer(b, dtype="<i2", offset=44)
+                rows["n_samples"].append(len(pcm))
+                rows["sample_rate"].append(sr)
+                rows["bits"].append(bits)
+                rows["n_bytes"].append(len(b))
+                rows["samples"].append(pcm.astype(np.int32))
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(dec, schema)

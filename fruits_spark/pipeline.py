@@ -776,11 +776,37 @@ LANG_MARKERS = {
 }
 
 
+#: unicode script blocks for the non-latin detector (BMP-only ranges so
+#: char counts agree across UTF-16/codepoint length semantics)
+SCRIPT_RANGES = {
+    "han": "一-鿿",     # CJK unified ideographs
+    "kana": "぀-ヿ",    # hiragana + katakana
+    "cyr": "Ѐ-ӿ",     # Cyrillic
+}
+#: a script claims the document when its chars exceed 3/10 of the text
+SCRIPT_NUM, SCRIPT_DEN = 3, 10
+
+
+def _script_count(text_col: str, ranges: str):
+    """Chars of ``text_col`` inside the given unicode ranges — counted
+    JVM-side by deleting everything else and measuring what remains."""
+    return F.length(F.regexp_replace(F.col(text_col), f"[^{ranges}]", ""))
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-marker language heuristic, generic over LANG_MARKERS:
-    per-language marker-hit counts, argmax with the table's priority
-    order as tie-break, plus a marker-density confidence
-    (top score / word count)."""
+    """Two-stage language heuristic.
+
+    Stage 1 — script-range detector: per-document counts of Han, kana
+    and Cyrillic characters (a regexp_replace + length projection, pure
+    JVM).  A script that covers > 3/10 of the characters decides
+    directly: kana present -> ``ja``, else Han -> ``zh``; Cyrillic ->
+    ``ru`` — integer threshold arithmetic so every engine agrees
+    exactly.  Confidence = script-char fraction.
+
+    Stage 2 — latin fallback, generic over LANG_MARKERS: per-language
+    stopword-marker hit counts, argmax with the table's priority order
+    as tie-break, confidence = marker density (top score / word
+    count)."""
     cols = []
     structs = []
     for pri, (lang, markers) in enumerate(LANG_MARKERS.items()):
@@ -798,15 +824,32 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     scored = docs.select(
         "doc_id", F.col("lang").alias("labelled_lang"),
-        F.size(_words(text_col)).alias("_nw"), *cols,
+        F.size(_words(text_col)).alias("_nw"),
+        F.length(F.col(text_col)).alias("_nc"),
+        _script_count(text_col, SCRIPT_RANGES["han"]).alias("_han"),
+        _script_count(text_col, SCRIPT_RANGES["kana"]).alias("_kana"),
+        _script_count(text_col, SCRIPT_RANGES["cyr"]).alias("_cyr"),
+        *cols,
     )
     best = F.element_at(F.array_sort(F.array(*structs)), 1)
+    cjk = F.col("_han") + F.col("_kana")
+    cjk_hit = cjk * SCRIPT_DEN > F.col("_nc") * SCRIPT_NUM
+    cyr_hit = F.col("_cyr") * SCRIPT_DEN > F.col("_nc") * SCRIPT_NUM
+    pred = (
+        F.when(cjk_hit & (F.col("_kana") > 0), F.lit("ja"))
+        .when(cjk_hit, F.lit("zh"))
+        .when(cyr_hit, F.lit("ru"))
+        .otherwise(best["lang"])
+    )
+    conf = (
+        F.when(cjk_hit, F.round(cjk / F.col("_nc"), 6))
+        .when(cyr_hit, F.round(F.col("_cyr") / F.col("_nc"), 6))
+        .otherwise(F.round((-best["neg"]) / F.col("_nw"), 6))
+    )
     return (
-        scored.withColumn("pred_lang", best["lang"])
-        .withColumn(
-            "conf_r6", F.round((-best["neg"]) / F.col("_nw"), 6)
-        )
-        .drop("_nw")
+        scored.withColumn("pred_lang", pred)
+        .withColumn("conf_r6", conf)
+        .drop("_nw", "_nc", "_han", "_kana", "_cyr")
     )
 
 
