@@ -22,7 +22,14 @@ Primitives:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+#: cumsum carry-subtract strategy: "auto" (mean-length rule, default),
+#: "slice" / "gather" force one variant — an A/B knob for bandwidth
+#: studies on saturated hosts (see Seg.cumsum)
+_CARRY_MODE = os.environ.get("SPARK_GRAFT_CARRY", "auto")
 
 
 class Seg:
@@ -52,10 +59,17 @@ class Seg:
             return self._cumsum_per_segment(x)
         starts = self.offsets[:-1]
         base = np.where(starts > 0, cs[starts - 1], 0.0)
-        if self.n <= 2048:
-            # Arrow batches are ~512 rows: a per-segment slice subtract
-            # is one in-place pass with no gather buffer (measured 1.5x
-            # the vectorized gather at this segment count)
+        if _CARRY_MODE == "slice" or (
+            _CARRY_MODE == "auto" and self.total >= self.n * 512
+        ):
+            # LONG segments (mean >= 512): a per-segment slice subtract
+            # is one in-place pass with no gather buffer; the Python
+            # loop overhead (~1.6 us/segment) amortizes over the
+            # segment.  Crossover measured at mean length ~500 (round
+            # 3, shapes 16x12800 ... 2048x100): at 128x1600 slice is
+            # 1.6x faster, at 512x390 gather is 2.2x faster — the old
+            # n<=2048 rule picked slice for the bench's own shape
+            # (800x260) where it loses 2.8x.
             o = self.offsets
             for i in range(self.n):
                 if base[i] != 0.0:

@@ -742,6 +742,145 @@ def tokenize(
     return out
 
 
+_BPE_ALPHABET = tuple("abcdefghijklmnopqrstuvwxyz0123456789") + ("</w>",)
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    sample_docs: int = 2000,
+    id_col: str = "doc_id",
+) -> list[tuple[str, str]]:
+    """Deterministic BPE merge training (the classic algorithm) on a
+    bounded driver-side sample — the trained-vocabulary counterpart to
+    :func:`tokenize`'s hashing trick.
+
+    Like the fit stage, training materializes only ``sample_docs``
+    documents (``doc_id < sample_docs`` — a deterministic sample, not a
+    random one); the expensive part at corpus scale is APPLYING the
+    merges, which :func:`bpe_tokenize` does distributed.  Each round
+    merges the most frequent adjacent symbol pair, ties broken
+    lexicographically, so the merge list is reproducible from the same
+    corpus.  Words are ``[a-z]+|[0-9]+`` runs with a ``</w>``
+    end-of-word marker."""
+    import re
+    from collections import Counter
+
+    rows = (
+        docs.where(F.col(id_col) < sample_docs).select(text_col).collect()
+    )
+    word_freq: Counter = Counter()
+    for r in rows:
+        for w in re.findall(r"[a-z]+|[0-9]+", (r[text_col] or "").lower()):
+            word_freq[w] += 1
+    seqs = {w: tuple(w) + ("</w>",) for w in word_freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, f in word_freq.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        mx = max(pc.values())
+        best = min(p for p, c in pc.items() if c == mx)
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w, s in seqs.items():
+            if a not in s:
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic subword -> id table: the base alphabet first, then
+    each merge's output symbol in rank order."""
+    vocab = {s: i for i, s in enumerate(_BPE_ALPHABET)}
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    source_col: str | None = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained BPE merges distributed: text -> ``(doc_id, tokens
+    array<int>, n_tok, source)`` in one Arrow-batched ``mapInPandas``
+    kernel (no shuffle).  The merge ranks + vocab are closure-captured
+    (broadcast with the task), encoding is the standard greedy
+    lowest-rank merge loop with a per-batch word cache — each distinct
+    word is encoded once per batch, so the per-row cost on natural text
+    is a dict lookup.  Unknown symbols are skipped (the alphabet covers
+    the ``[a-z0-9]`` word regex, so this only drops exotic codepoints)."""
+    import pandas as pd
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    schema_cols = f"doc_id long, tokens array<int>, n_tok int"
+    if source_col is not None and source_col not in docs.columns:
+        raise ValueError(
+            f"bpe_tokenize: column {source_col!r} not in {docs.columns}"
+        )
+    schema = schema_cols + (", source string" if source_col else "")
+
+    def encode_word(w: str) -> list[int]:
+        s = list(w) + ["</w>"]
+        while len(s) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(s) - 1):
+                r = ranks.get((s[i], s[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            s[best_i:best_i + 2] = [s[best_i] + s[best_i + 1]]
+        return [vocab[t] for t in s if t in vocab]
+
+    import re
+
+    word_re = re.compile(r"[a-z]+|[0-9]+")
+
+    def run(batches):
+        for pdf in batches:
+            cache: dict[str, list[int]] = {}
+            toks = []
+            for t in pdf[text_col]:
+                ids: list[int] = []
+                for w in word_re.findall((t or "").lower()):
+                    got = cache.get(w)
+                    if got is None:
+                        got = cache[w] = encode_word(w)
+                    ids.extend(got)
+                toks.append(ids)
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "tokens": toks,
+                "n_tok": [len(t) for t in toks],
+            }
+            if source_col:
+                out["source"] = pdf[source_col]
+            yield pd.DataFrame(out)
+
+    keep = [id_col, text_col] + ([source_col] if source_col else [])
+    return docs.select(*keep).mapInPandas(run, schema)
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: word/char/token counts and ratios."""
     words = _words(text_col)

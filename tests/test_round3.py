@@ -250,3 +250,83 @@ def test_lang_id_script_detector(spark):
     )
     got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
     assert got == {0: "en", 1: "ru", 2: "zh", 3: "ja", 4: "en"}
+
+
+def test_bpe_train_and_tokenize(spark):
+    """Classic BPE on a tiny corpus: trained merges are deterministic,
+    frequent pairs merge first, and the distributed encoder round-trips
+    into the engine's token data model (and through extract_features)."""
+    from fruits_spark.pipeline import (
+        bpe_tokenize, bpe_vocab, train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "low low low lower lowest", "s"),
+            (1, "new newer newest low", "s"),
+            (2, "lower newer lower newer", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    m1 = train_bpe_merges(docs, n_merges=30)
+    m2 = train_bpe_merges(docs, n_merges=30)
+    assert m1 == m2 and len(m1) > 0
+    # 'lo' must merge early: 'l','o' is the most frequent pair (9 lows)
+    assert ("l", "o") == m1[0]
+    vocab = bpe_vocab(m1)
+    assert len(vocab) == len(set(vocab.values()))  # ids unique
+
+    toks = bpe_tokenize(docs, m1)
+    rows = {r["doc_id"]: r for r in toks.collect()}
+    assert set(rows) == {0, 1, 2}
+    for r in rows.values():
+        assert r["n_tok"] == len(r["tokens"]) > 0
+        assert all(0 <= t < len(vocab) for t in r["tokens"])
+    # identical words encode identically across docs: 'lower' appears in
+    # docs 0 and 2; fully-trained merges collapse it to one id sequence
+    inv = {v: k for k, v in vocab.items()}
+
+    def decode(ids):
+        return "".join(inv[i] for i in ids).replace("</w>", " ").split()
+
+    assert "lower" in decode(rows[0]["tokens"])
+    assert decode(rows[2]["tokens"]).count("lower") == 2
+
+    # bridge into the engine: BPE tokens -> ISS features
+    from fruits_spark.engine.executor import extract_features, feature_columns
+
+    fplan = FruitPlan(
+        (Slice(iss=ISSSpec((W("[1]"),)), sieves=(Sieve("end"),)),)
+    )
+    fc = feature_columns(fplan)
+    feats = extract_features(toks, fplan).collect()
+    by_id = {r["doc_id"]: r[fc[0]] for r in feats}
+    assert by_id[0] == float(sum(rows[0]["tokens"]))
+
+
+def test_carry_modes_bit_identical():
+    """slice and gather carry subtraction must be bit-identical (same
+    float op per element); the auto rule picks by mean segment length."""
+    import importlib
+
+    import fruits_spark.kernels.flat as KF
+
+    rng = np.random.default_rng(3)
+    lens = rng.integers(1, 700, size=300)
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    x = rng.normal(size=int(offsets[-1]))
+    outs = {}
+    try:
+        for mode in ("auto", "slice", "gather"):
+            KF._CARRY_MODE = mode
+            outs[mode] = KF.Seg(offsets).cumsum(x.copy())
+    finally:
+        KF._CARRY_MODE = "auto"
+    np.testing.assert_array_equal(outs["slice"], outs["gather"])
+    np.testing.assert_array_equal(outs["auto"], outs["slice"])
+    # reference: independent per-segment cumsums
+    ref = np.empty_like(x)
+    for i in range(len(lens)):
+        s, e = offsets[i], offsets[i + 1]
+        ref[s:e] = np.cumsum(x[s:e])
+    np.testing.assert_allclose(outs["auto"], ref, rtol=1e-12, atol=1e-9)
