@@ -97,7 +97,10 @@ def main() -> None:
         "HashAggregate on (query_id, shard) keeps k rows per shard "
         "map-side, then a bounded merge per query — NO Window/Sort over "
         "the full candidate set (the per-query single-reducer sort this "
-        "replaced).",
+        "replaced).  Shards scale with the candidate count "
+        "(adaptive_topk_shards: ~N/100k, so phase-1 collect_list "
+        "buffers stay ~100k structs at any N) and a tree-merge level "
+        "caps every merge group at 64*k survivors above 64 shards.",
         ann,
     ))
 
@@ -105,7 +108,10 @@ def main() -> None:
     sections.append((
         "ANN IVF (inverted lists)",
         "Centroid assignment is a pure projection (centroids inlined as "
-        "literals — no join/shuffle to quantize); the probe join "
+        "literals — no join/shuffle to quantize); the k-means TRAIN "
+        "behind those literals is 2 Lloyd iterations, each one "
+        "hash-aggregate of d integer sums per centroid (map-side "
+        "combine, n_centroids rows to the driver).  The probe join "
         "broadcasts the tiny exploded query side and candidates stream "
         "map-side; ranking reuses the two-phase partial top-k hash "
         "aggregates.  No cross join, no full-N sort.",
