@@ -318,12 +318,21 @@ def cosine_pairs(
     n_queries: int = 5,
     threshold: float = 0.2,
     id_col: str = "vec_id",
+    query_offset: int = 0,
 ) -> DataFrame:
-    """Brute-force cosine similarity of the first ``n_queries`` vectors
-    against the whole table (the exact baseline for ANN).  Broadcast the
-    tiny query side; candidates stream map-side — scales linearly."""
+    """Brute-force cosine similarity of ``n_queries`` vectors (ids in
+    ``[query_offset, query_offset + n_queries)``) against the whole
+    table (the exact baseline for ANN).  Broadcast the tiny query side;
+    candidates stream map-side — scales linearly.  ``query_offset``
+    exists so evaluation queries can be chosen DISJOINT from the IVF
+    seed window — a query that is itself a centroid gets its own
+    inverted list and reads artificially high recall (the round-3
+    measurement trap in BENCH.md)."""
     q = quantize_embeddings(emb)
-    queries = q.where(F.col(id_col) < n_queries).select(
+    queries = q.where(
+        (F.col(id_col) >= query_offset)
+        & (F.col(id_col) < query_offset + n_queries)
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("q_qvec"),
         F.col("qnorm").alias("q_qnorm"),
@@ -431,6 +440,7 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     shards: int | None = None,
+    query_offset: int = 0,
 ) -> DataFrame:
     """Exact top-k neighbors per query via the two-phase partial top-k
     (see :func:`_two_phase_topk`) over brute-force scores.  ``shards``
@@ -439,7 +449,8 @@ def cosine_topk(
     at any N; pass an explicit value to skip the count job."""
     if shards is None:
         shards = adaptive_topk_shards(emb.count())
-    pairs = cosine_pairs(emb, n_queries, threshold=-1.1, id_col=id_col)
+    pairs = cosine_pairs(emb, n_queries, threshold=-1.1, id_col=id_col,
+                         query_offset=query_offset)
     return _two_phase_topk(pairs, k, shards)
 
 
@@ -546,6 +557,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     shards: int | None = None,
     train_iters: int = 2,
+    query_offset: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its best centroid
     (a pure projection — centroids are inlined literals, so no join or
@@ -574,7 +586,10 @@ def ivf_topk(
         F.element_at(sorted_cents, 1)["cid"].alias("cid"),
     )
     queries = (
-        q.where(F.col(id_col) < n_queries)
+        q.where(
+            (F.col(id_col) >= query_offset)
+            & (F.col(id_col) < query_offset + n_queries)
+        )
         .select(
             F.col(id_col).alias("query_id"),
             F.col("qvec").alias("q_qvec"),

@@ -330,3 +330,19 @@ def test_carry_modes_bit_identical():
         s, e = offsets[i], offsets[i + 1]
         ref[s:e] = np.cumsum(x[s:e])
     np.testing.assert_allclose(outs["auto"], ref, rtol=1e-12, atol=1e-9)
+
+
+def test_query_offset_disjoint_window(spark):
+    """query_offset selects evaluation queries disjoint from the IVF
+    seed window (the recall-measurement trap: a query that is its own
+    centroid reads inflated recall)."""
+    from fruits_spark.pipeline import cosine_topk, ivf_topk
+
+    emb = _emb_df(spark, n=70)
+    got = cosine_topk(emb, n_queries=3, k=4, shards=4, query_offset=50)
+    qids = {r["query_id"] for r in got.collect()}
+    assert qids == {50, 51, 52}
+    ivf = ivf_topk(emb, n_centroids=4, n_queries=2, nprobe=4, k=4,
+                   shards=4, train_iters=1, query_offset=60)
+    qids = {r["query_id"] for r in ivf.collect()}
+    assert qids == {60, 61}

@@ -1,6 +1,12 @@
 """Measure IVF ANN recall@k vs exact brute-force cosine.
 
-Usage: python tools/ivf_recall.py [sf_dir] [n_queries] [k]
+Usage: python tools/ivf_recall.py [sf_dir] [n_queries] [k] [query_offset]
+
+Queries default to ids [1000, 1000+n) — DISJOINT from every seed window
+measured: a query whose own vector is a centroid gets a private
+inverted list and reads artificially high recall (first-N seeds with
+queries 0..49 inflated nprobe=1 recall at k=64 from 0.09 to 0.87 on
+this corpus).  Pass 0 to reproduce the overlapped variant.
 
 For a grid of (n_centroids, nprobe) and both quantizers (trained = 2
 Lloyd iterations via pipeline.train_ivf_centroids, seed = first-N
@@ -19,7 +25,8 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def recall_table(sf_dir: str, n_queries: int = 50, k: int = 10):
+def recall_table(sf_dir: str, n_queries: int = 50, k: int = 10,
+                 query_offset: int = 1000):
     from fruits_spark.engine.session import build_session
     from fruits_spark.pipeline import (
         _ivf_sorted_centroids, cosine_topk, ivf_centroid_rows, ivf_topk,
@@ -33,7 +40,8 @@ def recall_table(sf_dir: str, n_queries: int = 50, k: int = 10):
     n_vec = emb.count()
 
     truth = {}
-    for r in cosine_topk(emb, n_queries=n_queries, k=k, shards=32).collect():
+    for r in cosine_topk(emb, n_queries=n_queries, k=k, shards=32,
+                         query_offset=query_offset).collect():
         truth.setdefault(r["query_id"], set()).add(r["cand_id"])
 
     rows = []
@@ -65,6 +73,7 @@ def recall_table(sf_dir: str, n_queries: int = 50, k: int = 10):
                 res = ivf_topk(
                     emb, n_centroids=n_cent, n_queries=n_queries,
                     nprobe=nprobe, k=k, shards=32, train_iters=iters,
+                    query_offset=query_offset,
                 )
                 for r in res.collect():
                     got.setdefault(r["query_id"], set()).add(r["cand_id"])
@@ -90,4 +99,5 @@ if __name__ == "__main__":
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     nq = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    recall_table(sf_dir, nq, k)
+    off = int(sys.argv[4]) if len(sys.argv) > 4 else 1000
+    recall_table(sf_dir, nq, k, off)
