@@ -59,6 +59,21 @@ def main() -> None:
     from fruits_spark.words import W, of_weight
 
     spark = build_session(master=args.master, app=f"iss-rollup-{args.run_id}")
+    # Fail fast on an undersized driver heap: under spark-submit the JVM
+    # starts before Python, so build_session's driver-memory default is
+    # silently ignored and the default 1g heap OOMs mid-aggregation on
+    # ~10^6-doc inputs (a cryptic Tungsten sort-spill crash).  Surface
+    # the fix at startup instead.
+    heap = int(
+        spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    )
+    if args.n_docs_synth >= 500_000 and heap < 6 << 30:
+        raise SystemExit(
+            f"driver heap {heap / (1 << 30):.1f}g is too small for "
+            f"{args.n_docs_synth} docs in local mode — relaunch with "
+            "spark-submit --driver-memory 16g (build_session's default "
+            "cannot apply once the JVM is already running)"
+        )
     t_start = time.time()
 
     from fruits_spark.engine import io as IO
