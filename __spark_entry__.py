@@ -1847,7 +1847,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fruits_spark.pipeline import cosine_topk
 
     return cosine_topk(
-        _read(spark, sf_dir, "embeddings"), n_queries=5, k=10
+        _read(spark, sf_dir, "embeddings"), n_queries=5, k=10, shards=32
     ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("cand_id").cast("long").alias("cand_id"),
@@ -1904,6 +1904,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         _read(spark, sf_dir, "embeddings"),
         n_centroids=8, n_queries=4, nprobe=2, k=5, train_iters=2,
+        shards=32,
     ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("cand_id").cast("long").alias("cand_id"),

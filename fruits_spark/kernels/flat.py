@@ -30,6 +30,10 @@ import numpy as np
 #: "slice" / "gather" force one variant — an A/B knob for bandwidth
 #: studies on saturated hosts (see Seg.cumsum)
 _CARRY_MODE = os.environ.get("SPARK_GRAFT_CARRY", "auto")
+if _CARRY_MODE not in ("auto", "slice", "gather"):
+    raise ValueError(
+        f"SPARK_GRAFT_CARRY={_CARRY_MODE!r}: must be auto|slice|gather"
+    )
 
 
 class Seg:

@@ -77,6 +77,30 @@ def synth_frame_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col).mapInPandas(enc, schema)
 
 
+def _decode_frames_slow(pdf, id_col, np, pd):
+    """Per-blob FRB1 decode — the degenerate-shape fallback (zero-area
+    frames) of the batched path in :func:`decode_frames`."""
+    rows = {
+        id_col: pdf[id_col].astype("int64"),
+        "n_frames": [], "width": [], "height": [],
+        "n_bytes": [], "frame_sums": [],
+    }
+    for b in pdf["blob"]:
+        arr = np.frombuffer(bytes(b), dtype=np.uint8)
+        if len(arr) < 4 or arr[0] != FRB1_MAGIC:
+            raise ValueError("not an FRB1 blob")
+        nf, w, h = int(arr[1]), int(arr[2]), int(arr[3])
+        if nf < 1 or len(arr) != 4 + nf * w * h:
+            raise ValueError("FRB1 payload length mismatch")
+        frames = arr[4:].astype(np.int64).reshape(nf, w * h)
+        rows["n_frames"].append(nf)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["n_bytes"].append(len(arr))
+        rows["frame_sums"].append(frames.sum(axis=1).astype(np.int32))
+    return pd.DataFrame(rows)
+
+
 def decode_frames(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Parse FRB1 blobs: header -> typed metadata, payload -> per-frame
     pixel sums (the 'feature extract' step of a media pipeline).  Emits
@@ -119,6 +143,14 @@ def decode_frames(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 raise ValueError("FRB1 payload length mismatch")
             total_frames = int(nf.sum())
             fsize = w * h
+            if (fsize < 1).any():
+                # zero-area frames make a frame start collide with the
+                # next blob's header (reduceat would sum foreign bytes)
+                # — take the simple per-blob path for this batch; the
+                # sums of empty frames are zero, matching the pre-batch
+                # decode
+                yield _decode_frames_slow(pdf, id_col, np, pd)
+                continue
             cum_nf = np.cumsum(nf)
             within = np.arange(total_frames) - np.repeat(cum_nf - nf, nf)
             fstarts = (

@@ -847,12 +847,13 @@ def bpe_tokenize(
 
     ranks = {p: i for i, p in enumerate(merges)}
     vocab = bpe_vocab(merges)
-    schema_cols = f"doc_id long, tokens array<int>, n_tok int"
     if source_col is not None and source_col not in docs.columns:
         raise ValueError(
             f"bpe_tokenize: column {source_col!r} not in {docs.columns}"
         )
-    schema = schema_cols + (", source string" if source_col else "")
+    schema = f"{id_col} long, tokens array<int>, n_tok int" + (
+        f", {source_col} string" if source_col else ""
+    )
 
     def encode_word(w: str) -> list[int]:
         s = list(w) + ["</w>"]
@@ -884,12 +885,12 @@ def bpe_tokenize(
                     ids.extend(got)
                 toks.append(ids)
             out = {
-                "doc_id": pdf[id_col].astype("int64"),
+                id_col: pdf[id_col].astype("int64"),
                 "tokens": toks,
                 "n_tok": [len(t) for t in toks],
             }
             if source_col:
-                out["source"] = pdf[source_col]
+                out[source_col] = pdf[source_col]
             yield pd.DataFrame(out)
 
     keep = [id_col, text_col] + ([source_col] if source_col else [])

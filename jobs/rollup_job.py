@@ -67,7 +67,11 @@ def main() -> None:
     heap = int(
         spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
     )
-    if args.n_docs_synth >= 500_000 and heap < 6 << 30:
+    if (
+        spark.sparkContext.master.startswith("local")
+        and args.n_docs_synth >= 500_000
+        and heap < 6 << 30
+    ):
         raise SystemExit(
             f"driver heap {heap / (1 << 30):.1f}g is too small for "
             f"{args.n_docs_synth} docs in local mode — relaunch with "

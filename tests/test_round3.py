@@ -346,3 +346,36 @@ def test_query_offset_disjoint_window(spark):
                    shards=4, train_iters=1, query_offset=60)
     qids = {r["query_id"] for r in ivf.collect()}
     assert qids == {60, 61}
+
+
+def test_frb1_zero_area_frames_decode_to_zero_sums(spark):
+    """Degenerate FRB1 blobs (w*h == 0) must decode to zero frame sums
+    via the per-blob fallback — the batched reduceat path would read
+    the NEXT blob's bytes at the collided boundary (review finding)."""
+    from fruits_spark.multimodal import decode_frames
+
+    blobs = spark.createDataFrame(
+        [
+            (0, bytearray([0x46, 2, 0, 3])),          # 2 frames of 0x3
+            (1, bytearray([0x46, 1, 2, 2, 5, 6, 7, 8])),  # normal
+            (2, bytearray([0x46, 3, 2, 0])),          # 3 frames of 2x0
+        ],
+        "doc_id long, blob binary",
+    )
+    got = {r["doc_id"]: r for r in decode_frames(blobs).collect()}
+    assert list(got[0]["frame_sums"]) == [0, 0]
+    assert list(got[1]["frame_sums"]) == [26]
+    assert list(got[2]["frame_sums"]) == [0, 0, 0]
+
+
+def test_bpe_tokenize_custom_column_names(spark):
+    from fruits_spark.pipeline import bpe_tokenize, train_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(0, "low low lower", "a"), (1, "new lower", "b")],
+        "item_id long, text string, src string",
+    )
+    merges = train_bpe_merges(docs, n_merges=10, id_col="item_id")
+    out = bpe_tokenize(docs, merges, id_col="item_id", source_col="src")
+    assert set(out.columns) == {"item_id", "tokens", "n_tok", "src"}
+    assert out.count() == 2

@@ -44,6 +44,13 @@ def recall_table(sf_dir: str, n_queries: int = 50, k: int = 10,
                          query_offset=query_offset).collect():
         truth.setdefault(r["query_id"], set()).add(r["cand_id"])
 
+    if not truth:
+        raise SystemExit(
+            f"no vectors in the query window [{query_offset}, "
+            f"{query_offset + n_queries}) — corpus has {n_vec}; pass a "
+            "smaller query_offset"
+        )
+
     rows = []
     for n_cent in (16, 64):
         for trained in (False, True):
