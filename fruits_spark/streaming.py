@@ -92,6 +92,56 @@ def compact_tier(
     return _sql_agg(partials, ["source", "bucket"], RU.reagg_exprs(fcols))
 
 
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double"
+)
+
+
+def windowed_event_rollup(
+    spark: SparkSession,
+    input_path: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    schema: str = EVENT_SCHEMA,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Event-time windowed aggregation with a WATERMARK — the late-data
+    story for event streams (the token-tier paths use doc-id bucketing,
+    where arrival order is irrelevant; event streams aggregate on event
+    TIME, so out-of-order arrival needs bounded-lateness semantics).
+
+    ``withWatermark(ts, watermark)`` bounds state: Spark keeps window
+    state only until ``max(event time seen) - watermark`` passes the
+    window end, then finalizes and frees it — state is O(active
+    windows), not O(events), which is what makes an unbounded stream
+    feasible at all.  Events arriving LATER than the watermark are
+    dropped (counted nowhere), the documented trade: a smaller
+    watermark bounds memory and result latency harder but drops more
+    stragglers.  Returns the streaming DataFrame of per-(window,
+    event_type) algebraic cells; callers pick sink + output mode
+    ('update' for always-current cells, 'append' for finalized-only)."""
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type", "n_events", "sum_value", "max_value",
+        )
+    )
+
+
 def stateful_tier_updates(
     spark: SparkSession,
     input_path: str,

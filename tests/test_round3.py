@@ -5,6 +5,7 @@ import threading
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 import fruits_spark.engine.executor as EX
 import fruits_spark.engine.lineage as LI
@@ -379,3 +380,86 @@ def test_bpe_tokenize_custom_column_names(spark):
     out = bpe_tokenize(docs, merges, id_col="item_id", source_col="src")
     assert set(out.columns) == {"item_id", "tokens", "n_tok", "src"}
     assert out.count() == 2
+
+
+def test_windowed_event_rollup_watermark_drops_late(spark, tmp_path):
+    """Event-time windows with a watermark: run 1 (availableNow) commits
+    watermark = max ts - 10min into the checkpoint; run 2 sees an event
+    OLDER than that watermark and DROPS it, while a fresh event lands —
+    the bounded-lateness semantics that keep streaming state
+    O(windows).  Two sequential availableNow runs over one checkpoint
+    make the watermark hand-off deterministic."""
+    import datetime as dt
+    import os
+
+    from fruits_spark import streaming as ST
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(specs):
+        return [
+            (i, base + dt.timedelta(minutes=m), 1, et, float(v))
+            for i, (m, et, v) in enumerate(specs)
+        ]
+
+    inp = str(tmp_path / "ev_in")
+    os.makedirs(inp)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "cells_out")
+
+    def run_once():
+        def sink(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                batch_df.withColumn("_b", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(out)
+
+        q = (
+            ST.windowed_event_rollup(
+                spark, inp, window="1 hour", watermark="10 minutes"
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+
+    # run 1: events up to 13:59 -> committed watermark 13:49, which is
+    # PAST the end of the [12:00, 13:00) window — that window's state is
+    # finalized (a row is only dropped once its WINDOW END is behind the
+    # watermark; merely being older than the watermark keeps it
+    # accepted while its window is live)
+    spark.createDataFrame(
+        rows([(5, "a", 1.0), (30, "a", 2.0), (119, "b", 3.0)]),
+        ST.EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    run_once()
+    # run 2: one event for the EXPIRED 12:00 window (dropped), one fresh
+    spark.createDataFrame(
+        rows([(20, "a", 100.0), (125, "b", 4.0)]), ST.EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(inp)
+    run_once()
+
+    from pyspark.sql import Window as W_
+
+    mem = spark.read.parquet(out)
+    w = W_.partitionBy("win_start", "event_type").orderBy(
+        F.desc("_b"), F.desc("n_events")
+    )
+    final = (
+        mem.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .collect()
+    )
+    cells = {
+        (r["win_start"].minute + 60 * r["win_start"].hour, r["event_type"]):
+        (r["n_events"], r["sum_value"])
+        for r in final
+    }
+    # 12:00 window, type a: the late 100.0 event was DROPPED -> 2 events
+    assert cells[(12 * 60, "a")] == (2, 3.0)
+    # 13:00 window unchanged; 14:00 window got the fresh event
+    assert cells[(13 * 60, "b")] == (1, 3.0)
+    assert cells[(14 * 60, "b")] == (1, 4.0)
