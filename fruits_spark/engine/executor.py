@@ -664,12 +664,22 @@ class ExtractStats:
         self.batches = sc.accumulator(0)
         self.rows = sc.accumulator(0)
         self.tokens = sc.accumulator(0)
+        # worker-side time split in microseconds (summed across all
+        # workers — divide by active cores for wall): Arrow batch ->
+        # flat (values, offsets), the numpy kernels, and the output
+        # frame build.  Quantifies the non-kernel share of extraction.
+        self.flatten_us = sc.accumulator(0)
+        self.kernel_us = sc.accumulator(0)
+        self.emit_us = sc.accumulator(0)
 
     def as_dict(self) -> dict:
         return {
             "batches": self.batches.value,
             "rows": self.rows.value,
             "tokens": self.tokens.value,
+            "flatten_us": self.flatten_us.value,
+            "kernel_us": self.kernel_us.value,
+            "emit_us": self.emit_us.value,
         }
 
 
@@ -801,12 +811,19 @@ def extract_features(
             yield from _run_one(full_pdf)
 
     def _run_one(full_pdf):
+        import time as _time
+
         for pdf in _sub_batches(full_pdf):
+            t0 = _time.perf_counter() if stats is not None else 0.0
             values, offsets = flatten_lists(pdf[tokens_col])
             if stats is not None:
                 stats.batches.add(1)
                 stats.rows.add(len(pdf))
                 stats.tokens.add(int(offsets[-1]))
+                stats.flatten_us.add(
+                    int((_time.perf_counter() - t0) * 1e6)
+                )
+                t0 = _time.perf_counter()
             if cast_scale is not None:
                 values *= cast_scale
             if flat and use_padded and not _has_cos:
@@ -827,6 +844,11 @@ def extract_features(
                     ).ravel()
                     Z = values[gather].reshape(len(rows), 1, int(ln))
                     feats[rows] = compute_features_block(Z, fplan)
+            if stats is not None:
+                stats.kernel_us.add(
+                    int((_time.perf_counter() - t0) * 1e6)
+                )
+                t0 = _time.perf_counter()
             # single-block frame (no per-column inserts: pandas
             # fragmentation warning + O(cols) block copies on wide plans)
             out = pd.concat(
@@ -836,6 +858,10 @@ def extract_features(
                 ],
                 axis=1,
             )
+            if stats is not None:
+                stats.emit_us.add(
+                    int((_time.perf_counter() - t0) * 1e6)
+                )
             yield out
 
     return df.select(*keep, tokens_col).mapInPandas(run, out_schema)
