@@ -1194,7 +1194,7 @@ pairs AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(cand_id AS BIGINT) AS cand_id,
-       ROUND(dot / sqrt(CAST(na * nb AS DOUBLE)), 6) AS cosine_r6
+       ROUND(dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine_r6
 FROM pairs
 WHERE dot / sqrt(CAST(na * nb AS DOUBLE)) > 0.2
 """
@@ -1834,7 +1834,7 @@ pairs AS (
 )
 SELECT CAST(id_a AS BIGINT) AS id_a,
        CAST(id_b AS BIGINT) AS id_b,
-       ROUND(dot / sqrt(CAST(na * nb AS DOUBLE)), 6) AS cosine_r6
+       ROUND(dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine_r6
 FROM pairs
 WHERE dot / sqrt(CAST(na * nb AS DOUBLE)) > 0.4
 """
@@ -1871,7 +1871,7 @@ n AS (
 scored AS (
     SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
            ROUND(CAST(list_dot_product(a.qvec, b.qvec) AS BIGINT)
-                 / sqrt(CAST(a.qnorm * b.qnorm AS DOUBLE)), 6) AS cosine_r6
+                 / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)), 6) AS cosine_r6
     FROM n a, n b
     WHERE a.vec_id < 5 AND a.vec_id != b.vec_id
 )
@@ -1996,7 +1996,7 @@ probe AS (
 pairs AS (
     SELECT p.query_id, a.vec_id AS cand_id,
            ROUND(CAST(list_dot_product(nq.qvec, nc.qvec) AS BIGINT)
-                 / sqrt(CAST(nq.qnorm * nc.qnorm AS DOUBLE)), 6) AS cosine_r6
+                 / sqrt(CAST(nq.qnorm AS DOUBLE) * CAST(nc.qnorm AS DOUBLE)), 6) AS cosine_r6
     FROM probe p
     JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id
     JOIN n nq ON nq.vec_id = p.query_id

@@ -313,6 +313,19 @@ def quantize_embeddings(
     return emb.withColumn("qvec", q).withColumn("qnorm", norm)
 
 
+def _cosine_col(dot, norm_prod):
+    """dot / sqrt(norm_a * norm_b), NULL when either vector is zero —
+    cosine is undefined there and Spark's ANSI mode turns the division
+    into a runtime DIVIDE_BY_ZERO crash; NULL rows fall out of every
+    downstream threshold filter / top-k sort.  ``norm_prod`` must be
+    the product of ALREADY-double norms: an int64 product overflows at
+    qnorm ~3e9 (any embedding with |v| > ~2.3 at the 1e4 quantization
+    scale), which ANSI mode turns into an ARITHMETIC_OVERFLOW crash —
+    every oracle computes the identical double x double product."""
+    denom = F.sqrt(norm_prod)
+    return F.when(denom > 0, dot / denom)
+
+
 def cosine_pairs(
     emb: DataFrame,
     n_queries: int = 5,
@@ -349,7 +362,10 @@ def cosine_pairs(
         .withColumn("dot", dot)
         .withColumn(
             "cosine",
-            F.col("dot") / F.sqrt((F.col("q_qnorm") * F.col("qnorm")).cast("double")),
+            _cosine_col(
+                F.col("dot"),
+                F.col("q_qnorm").cast("double") * F.col("qnorm").cast("double"),
+            ),
         )
         .where(F.col("cosine") > threshold)
     )
@@ -498,11 +514,10 @@ def train_ivf_centroids(
     q = quantize_embeddings(emb)
     d = len(cents[0][1])
     for _ in range(iters):
-        sorted_cents = _ivf_sorted_centroids(cents)
-        assigned = q.select(
-            F.element_at(sorted_cents, 1)["cid"].alias("cid"),
-            "qvec",
-        )
+        # same literal-vs-numpy dispatch as the final assignment
+        # (_assign_cid): at large k the per-row interpreted HOF cost of
+        # the literal expression dominates the whole train
+        assigned = _assign_cid(q, cents, id_col).select("cid", "qvec")
         rows = (
             assigned.groupBy("cid")
             .agg(
@@ -536,16 +551,115 @@ def _ivf_sorted_centroids(cents):
     structs = []
     for cid, cvec, cnorm in cents:
         lits = ",".join(f"{v}L" for v in cvec)
-        score = (
-            f"(aggregate(zip_with(qvec, array({lits}), (x, y) -> x * y), "
-            f"0L, (acc, v) -> acc + v) / sqrt(cast({cnorm} as double)))"
-        )
+        if cnorm == 0:
+            # a zero centroid (empty/degenerate cluster mean) would make
+            # the score a runtime division by zero under ANSI mode;
+            # rank it strictly last instead
+            score = "cast(-1e308 as double)"
+        else:
+            score = (
+                f"(aggregate(zip_with(qvec, array({lits}), (x, y) -> x * y), "
+                f"0L, (acc, v) -> acc + v) / sqrt(cast({cnorm} as double)))"
+            )
         structs.append(
             F.struct(
                 F.expr(f"-{score}").alias("ns"), F.lit(cid).alias("cid")
             )
         )
     return F.array_sort(F.array(*structs))
+
+
+#: use the inlined-literal JVM assignment expression only while
+#: n_centroids * d stays below this; above it the per-row interpreted
+#: higher-order-function cost (k aggregate-over-zip_with lambdas PER
+#: VECTOR — HOFs don't codegen) dominates, and the numpy path (one
+#: int64 matmul per Arrow batch against the broadcast centroid matrix)
+#: is orders of magnitude faster with bit-identical scores
+IVF_LITERAL_ASSIGN_MAX = 1024
+
+
+def _assign_cid_pandas(q: DataFrame, cents, id_col: str) -> DataFrame:
+    """Centroid assignment as ONE vectorized matmul per Arrow batch:
+    S = (Q @ C.T) / sqrt(cnorm) over exact int64 dots (numpy integer
+    matmul is order-independent-exact; the double division is the same
+    IEEE op the SQL oracle performs), argmax with ties to the smallest
+    cid (cents sorted by cid; np.argmax takes the first maximum).
+    Zero centroids rank strictly last, mirroring the literal path."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(cents, key=lambda c: c[0])
+    C = np.array([c[1] for c in cents], dtype=np.int64)
+    norms = np.sqrt(np.array(
+        [c[2] if c[2] > 0 else 1 for c in cents], dtype=np.float64
+    ))
+    zero = np.array([c[2] == 0 for c in cents])
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
+            )
+            S = (Q @ C.T).astype(np.float64) / norms[None, :]
+            if zero.any():
+                S[:, zero] = -np.inf
+            idx = np.argmax(S, axis=1)
+            yield pd.DataFrame(
+                {
+                    "cand_id": pdf[id_col].astype("int64"),
+                    "qvec": pdf["qvec"],
+                    "qnorm": pdf["qnorm"].astype("int64"),
+                    "cid": cids[idx].astype("int32"),
+                }
+            )
+
+    return q.select(id_col, "qvec", "qnorm").mapInPandas(
+        run, "cand_id long, qvec array<bigint>, qnorm long, cid int"
+    )
+
+
+def _assign_cid(q: DataFrame, cents, id_col: str) -> DataFrame:
+    """(cand_id, qvec, qnorm, cid): literal-expression projection for
+    small quantizers (pure JVM, no Python), numpy matmul above
+    IVF_LITERAL_ASSIGN_MAX — identical scores and tie-breaks."""
+    d = len(cents[0][1])
+    if len(cents) * d <= IVF_LITERAL_ASSIGN_MAX:
+        sorted_cents = _ivf_sorted_centroids(cents)
+        return q.select(
+            F.col(id_col).alias("cand_id"), "qvec", "qnorm",
+            F.element_at(sorted_cents, 1)["cid"].alias("cid"),
+        )
+    return _assign_cid_pandas(q, cents, id_col)
+
+
+def _probe_lists(cents, qrows, nprobe: int):
+    """Driver-side probe selection for the BOUNDED query set: for each
+    collected query row, the nprobe centroids by (score desc, cid asc)
+    with the exact scalar ops of the SQL oracle (int dot, /sqrt(cnorm)
+    double).  Returns [(query_id, qvec, qnorm, cid), ...]."""
+    import math
+
+    import numpy as np
+
+    out = []
+    for r in sorted(qrows, key=lambda r: r[0]):
+        qid, qvec, qnorm = int(r[0]), [int(v) for v in r[1]], int(r[2])
+        Qv = np.asarray(qvec, dtype=np.int64)
+        scored = []
+        for cid, cvec, cnorm in cents:
+            if cnorm == 0:
+                s = -1e308
+            else:
+                s = float(int(Qv @ np.asarray(cvec, dtype=np.int64))
+                          ) / math.sqrt(float(cnorm))
+            scored.append((-s, cid))
+        scored.sort()
+        for _, cid in scored[:nprobe]:
+            out.append((qid, qvec, qnorm, int(cid)))
+    return out
 
 
 def ivf_topk(
@@ -580,23 +694,21 @@ def ivf_topk(
     else:
         cents = ivf_centroid_rows(emb, n_centroids, id_col)
     q = quantize_embeddings(emb)
-    sorted_cents = _ivf_sorted_centroids(cents)
-    cand = q.select(
-        F.col(id_col).alias("cand_id"), "qvec", "qnorm",
-        F.element_at(sorted_cents, 1)["cid"].alias("cid"),
-    )
-    queries = (
+    cand = _assign_cid(q, cents, id_col)
+    # probe selection runs driver-side over the BOUNDED query window
+    # (n_queries rows, collected like the centroid rows) — keeps the
+    # giant per-row centroid expression out of the plan entirely
+    qrows = (
         q.where(
             (F.col(id_col) >= query_offset)
             & (F.col(id_col) < query_offset + n_queries)
         )
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col("qvec").alias("q_qvec"),
-            F.col("qnorm").alias("q_qnorm"),
-            F.explode(F.slice(sorted_cents, 1, nprobe)).alias("probe"),
-        )
-        .select("query_id", "q_qvec", "q_qnorm", F.col("probe.cid").alias("cid"))
+        .select(id_col, "qvec", "qnorm")
+        .collect()
+    )
+    queries = emb.sparkSession.createDataFrame(
+        _probe_lists(cents, qrows, nprobe),
+        "query_id long, q_qvec array<bigint>, q_qnorm long, cid int",
     )
     dot = F.expr(
         "aggregate(zip_with(q_qvec, qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
@@ -607,8 +719,12 @@ def ivf_topk(
         .withColumn("dot", dot)
         .withColumn(
             "cosine",
-            F.col("dot") / F.sqrt((F.col("q_qnorm") * F.col("qnorm")).cast("double")),
+            _cosine_col(
+                F.col("dot"),
+                F.col("q_qnorm").cast("double") * F.col("qnorm").cast("double"),
+            ),
         )
+        .where(F.col("cosine").isNotNull())
         .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine_r6"))
     )
     return _two_phase_topk(pairs, k, shards)
@@ -707,8 +823,10 @@ def embedding_near_dups(
         .withColumn("dot", dot)
         .withColumn(
             "cosine",
-            F.col("dot")
-            / F.sqrt((F.col("qnorm_a") * F.col("qnorm_b")).cast("double")),
+            _cosine_col(
+                F.col("dot"),
+                F.col("qnorm_a").cast("double") * F.col("qnorm_b").cast("double"),
+            ),
         )
         .where(F.col("cosine") > threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r6"))

@@ -463,3 +463,54 @@ def test_windowed_event_rollup_watermark_drops_late(spark, tmp_path):
     # 13:00 window unchanged; 14:00 window got the fresh event
     assert cells[(13 * 60, "b")] == (1, 3.0)
     assert cells[(14 * 60, "b")] == (1, 4.0)
+
+
+def test_cosine_ops_tolerate_zero_vectors(spark):
+    """Zero embedding vectors must not crash the ANN ops under Spark's
+    ANSI division (cosine is undefined there -> NULL -> filtered), and
+    a zero trained centroid ranks strictly last instead of dividing by
+    zero at assignment."""
+    from fruits_spark.pipeline import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(9)
+    rows = [(0, [0.0] * 8)] + [
+        (i, [float(v) for v in rng.normal(size=8)]) for i in range(1, 40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = cosine_topk(emb, n_queries=3, k=5, shards=4).collect()
+    # query 0 is the zero vector: no defined cosine -> no rows for it
+    assert {r["query_id"] for r in got} == {1, 2}
+    assert all(r["cand_id"] != 0 for r in got)
+    ivf = ivf_topk(emb, n_centroids=4, n_queries=3, nprobe=4, k=5,
+                   shards=4, train_iters=2).collect()
+    assert {r["query_id"] for r in ivf} == {1, 2}
+
+
+def test_ivf_pandas_assign_matches_literal(spark):
+    """The numpy-matmul assignment (large quantizers) must agree with
+    the inlined-literal JVM expression exactly — same integer dots,
+    same double division, same tie-to-smaller-cid."""
+    from fruits_spark.pipeline import (
+        _assign_cid_pandas, _ivf_sorted_centroids, quantize_embeddings,
+        train_ivf_centroids,
+    )
+
+    emb = _emb_df(spark, n=120, d=8, seed=11)
+    cents = train_ivf_centroids(emb, 6, iters=2)
+    q = quantize_embeddings(emb)
+    lit = {
+        r["cand_id"]: r["cid"]
+        for r in q.select(
+            F.col("vec_id").alias("cand_id"),
+            F.element_at(_ivf_sorted_centroids(cents), 1)["cid"].alias(
+                "cid"
+            ),
+        ).collect()
+    }
+    pnd = {
+        r["cand_id"]: r["cid"]
+        for r in _assign_cid_pandas(q, cents, "vec_id").collect()
+    }
+    assert lit == pnd and len(lit) == 120
