@@ -1,0 +1,89 @@
+"""Dedup ops at scale: wall time + planted-pair recall on a synthetic
+100k-doc corpus with known near-duplicates.
+
+Usage: python tools/dedup_scale_probe.py [n_docs] [cores]
+
+Corpus: 60-word documents over a 5000-word vocabulary, fully JVM-side;
+every 10th document shares 55 of its 60 words with its predecessor
+(shingle Jaccard ~0.8) — the planted near-dup pairs.  Measures exact
+dedup, MinHash-LSH candidate generation (xxhash64, 16 hashes x 4
+bands), and SimHash, reporting wall seconds, candidate volume, and
+recall of the planted pairs."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def synth_docs(spark, n: int, n_words: int = 60, vocab: int = 5000):
+    # word j of doc i comes from doc i-1 for j >= 5 when i % 10 == 0:
+    # 55/60 words shared with the predecessor = a planted near-dup.
+    # Words are xxhash64-derived (not a linear formula — a first draft
+    # used (37*id + 101*j) % vocab, which makes docs i and i+vocab/gcd
+    # IDENTICAL and explodes candidate volume with artifact pairs)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(0, {n_words - 1}), j -> "
+            f"concat('w', cast(pmod(xxhash64(CASE WHEN id % 10 = 0 AND "
+            f"id > 0 AND j >= 5 THEN id - 1 ELSE id END, j), {vocab}) "
+            f"as string))))"
+        ).alias("text"),
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from fruits_spark.engine.session import build_session
+    from fruits_spark.pipeline import (
+        exact_duplicates, minhash_lsh_candidates, simhash,
+    )
+
+    spark = build_session(
+        master=f"local[{cores}]", shuffle_partitions=cores,
+        app="dedup-scale",
+    )
+    docs = synth_docs(spark, n).cache()
+    docs.count()
+    planted = {(i - 1, i) for i in range(10, n, 10)}
+
+    t0 = time.time()
+    nd = exact_duplicates(docs).count()
+    print(f"n={n} exact_dup {time.time() - t0:.1f}s groups={nd}",
+          flush=True)
+
+    t0 = time.time()
+    cand = minhash_lsh_candidates(docs, n_hashes=16, bands=4).cache()
+    n_cand = cand.count()
+    t_lsh = time.time() - t0
+    hits = {
+        (r["doc_a"], r["doc_b"])
+        for r in cand.join(
+            spark.createDataFrame(
+                [(a, b) for a, b in planted], "doc_a long, doc_b long"
+            ),
+            ["doc_a", "doc_b"],
+        ).collect()
+    }
+    rec = len(hits) / len(planted)
+    print(f"n={n} minhash_lsh {t_lsh:.1f}s candidates={n_cand} "
+          f"planted_recall={rec:.3f} "
+          f"cand_frac={n_cand / (n * (n - 1) / 2):.2e}", flush=True)
+    cand.unpersist()
+
+    t0 = time.time()
+    sh = simhash(docs).count()
+    print(f"n={n} simhash fingerprints {time.time() - t0:.1f}s rows={sh}",
+          flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
