@@ -1196,7 +1196,8 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(cand_id AS BIGINT) AS cand_id,
        ROUND(dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine_r6
 FROM pairs
-WHERE dot / sqrt(CAST(na * nb AS DOUBLE)) > 0.2
+WHERE na > 0 AND nb > 0
+  AND dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) > 0.2
 """
 
 
@@ -1836,7 +1837,8 @@ SELECT CAST(id_a AS BIGINT) AS id_a,
        CAST(id_b AS BIGINT) AS id_b,
        ROUND(dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine_r6
 FROM pairs
-WHERE dot / sqrt(CAST(na * nb AS DOUBLE)) > 0.4
+WHERE na > 0 AND nb > 0
+  AND dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) > 0.4
 """
 
 
@@ -1874,6 +1876,7 @@ scored AS (
                  / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)), 6) AS cosine_r6
     FROM n a, n b
     WHERE a.vec_id < 5 AND a.vec_id != b.vec_id
+      AND a.qnorm > 0 AND b.qnorm > 0
 )
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(cand_id AS BIGINT) AS cand_id,
@@ -1999,8 +2002,8 @@ pairs AS (
                  / sqrt(CAST(nq.qnorm AS DOUBLE) * CAST(nc.qnorm AS DOUBLE)), 6) AS cosine_r6
     FROM probe p
     JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id
-    JOIN n nq ON nq.vec_id = p.query_id
-    JOIN n nc ON nc.vec_id = a.vec_id
+    JOIN n nq ON nq.vec_id = p.query_id AND nq.qnorm > 0
+    JOIN n nc ON nc.vec_id = a.vec_id AND nc.qnorm > 0
 )
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(cand_id AS BIGINT) AS cand_id,

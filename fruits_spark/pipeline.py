@@ -640,23 +640,24 @@ def _probe_lists(cents, qrows, nprobe: int):
     collected query row, the nprobe centroids by (score desc, cid asc)
     with the exact scalar ops of the SQL oracle (int dot, /sqrt(cnorm)
     double).  Returns [(query_id, qvec, qnorm, cid), ...]."""
-    import math
-
     import numpy as np
 
+    cents = sorted(cents, key=lambda c: c[0])
+    C = np.array([c[1] for c in cents], dtype=np.int64)
+    norms = np.sqrt(np.array(
+        [c[2] if c[2] > 0 else 1 for c in cents], dtype=np.float64
+    ))
+    zero = np.array([c[2] == 0 for c in cents])
+    cids = [c[0] for c in cents]
     out = []
     for r in sorted(qrows, key=lambda r: r[0]):
         qid, qvec, qnorm = int(r[0]), [int(v) for v in r[1]], int(r[2])
-        Qv = np.asarray(qvec, dtype=np.int64)
-        scored = []
-        for cid, cvec, cnorm in cents:
-            if cnorm == 0:
-                s = -1e308
-            else:
-                s = float(int(Qv @ np.asarray(cvec, dtype=np.int64))
-                          ) / math.sqrt(float(cnorm))
-            scored.append((-s, cid))
-        scored.sort()
+        S = (np.asarray(qvec, dtype=np.int64) @ C.T).astype(
+            np.float64
+        ) / norms
+        if zero.any():
+            S[zero] = -np.inf
+        scored = sorted((-S[i], cids[i]) for i in range(len(cids)))
         for _, cid in scored[:nprobe]:
             out.append((qid, qvec, qnorm, int(cid)))
     return out

@@ -5,9 +5,11 @@ Usage: python tools/ann_scale_probe.py [n_vectors] [cores]
 
 Generates a deterministic clustered corpus fully JVM-side (no data
 files), then measures exact cosine_topk against ivf_topk at a probe
-fraction of ~nprobe/n_centroids, reporting wall seconds and recall@10.
-This quantifies the candidate-shrink claim at a size where pruning
-matters (the sf0.1 recall grid's 2000 vectors fit in one list)."""
+fraction of ~nprobe/n_centroids, reporting wall seconds (min of
+SPARK_GRAFT_PROBE_REPS warmed repeats, default 2 — the shared host's
+protocol; see CLAUDE.md) and recall@10.  This quantifies the
+candidate-shrink claim at a size where pruning matters (the sf0.1
+recall grid's 2000 vectors fit in one list)."""
 
 from __future__ import annotations
 
@@ -44,26 +46,40 @@ def main() -> None:
         master=f"local[{cores}]", shuffle_partitions=cores,
         app="ann-scale",
     )
+    import os
+
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
     emb = synth_embeddings(spark, n).cache()
     emb.count()
     n_queries, k = 20, 10
     off = n // 2  # queries disjoint from the first-N seed window
 
-    t0 = time.time()
-    exact = cosine_topk(emb, n_queries=n_queries, k=k, shards=32,
-                        query_offset=off).collect()
-    t_exact = time.time() - t0
+    def min_of(fn):
+        best, out = float("inf"), None
+        for _ in range(reps):
+            t0 = time.time()
+            r = fn()
+            dt = time.time() - t0
+            if dt < best:
+                best, out = dt, r
+        return best, out
+
+    t_exact, exact = min_of(
+        lambda: cosine_topk(emb, n_queries=n_queries, k=k, shards=32,
+                            query_offset=off).collect()
+    )
     truth = {}
     for r in exact:
         truth.setdefault(r["query_id"], set()).add(r["cand_id"])
 
     for n_cent, nprobe in ((64, 4), (256, 8)):
-        t0 = time.time()
-        res = ivf_topk(
-            emb, n_centroids=n_cent, n_queries=n_queries, nprobe=nprobe,
-            k=k, shards=32, train_iters=2, query_offset=off,
-        ).collect()
-        t_ivf = time.time() - t0
+        t_ivf, res = min_of(
+            lambda: ivf_topk(
+                emb, n_centroids=n_cent, n_queries=n_queries,
+                nprobe=nprobe, k=k, shards=32, train_iters=2,
+                query_offset=off,
+            ).collect()
+        )
         got = {}
         for r in res:
             got.setdefault(r["query_id"], set()).add(r["cand_id"])

@@ -50,19 +50,30 @@ def main() -> None:
         master=f"local[{cores}]", shuffle_partitions=cores,
         app="dedup-scale",
     )
+    import os
+
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
     docs = synth_docs(spark, n).cache()
     docs.count()
     planted = {(i - 1, i) for i in range(10, n, 10)}
 
-    t0 = time.time()
-    nd = exact_duplicates(docs).count()
-    print(f"n={n} exact_dup {time.time() - t0:.1f}s groups={nd}",
-          flush=True)
+    def min_of(fn):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
 
-    t0 = time.time()
+    t_ex = min_of(lambda: exact_duplicates(docs).count())
+    nd = exact_duplicates(docs).count()
+    print(f"n={n} exact_dup {t_ex:.1f}s groups={nd}", flush=True)
+
+    t_lsh = min_of(
+        lambda: minhash_lsh_candidates(docs, n_hashes=16, bands=4).count()
+    )
     cand = minhash_lsh_candidates(docs, n_hashes=16, bands=4).cache()
     n_cand = cand.count()
-    t_lsh = time.time() - t0
     hits = {
         (r["doc_a"], r["doc_b"])
         for r in cand.join(
@@ -78,10 +89,9 @@ def main() -> None:
           f"cand_frac={n_cand / (n * (n - 1) / 2):.2e}", flush=True)
     cand.unpersist()
 
-    t0 = time.time()
+    t_sh = min_of(lambda: simhash(docs).count())
     sh = simhash(docs).count()
-    print(f"n={n} simhash fingerprints {time.time() - t0:.1f}s rows={sh}",
-          flush=True)
+    print(f"n={n} simhash fingerprints {t_sh:.1f}s rows={sh}", flush=True)
     spark.stop()
 
 
