@@ -55,7 +55,13 @@ class Seg:
 
     def cumsum(self, x: np.ndarray) -> np.ndarray:
         cs = np.cumsum(x)
-        if cs.size and max(cs.max(), -cs.min()) >= 2.0**53:
+        if cs.size == 0:
+            # a batch where EVERY segment is empty (total == 0): the
+            # carry gather below would index cs[-1] on an empty array
+            # (found by shape fuzzing — reachable when an Arrow batch
+            # holds only zero-token documents)
+            return cs
+        if max(cs.max(), -cs.min()) >= 2.0**53:
             # the global carry trick would lose integer exactness once
             # the cross-segment accumulation passes 2^53 — switch to
             # per-segment independent cumsums (exact whenever a per-row

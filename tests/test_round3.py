@@ -514,3 +514,20 @@ def test_ivf_pandas_assign_matches_literal(spark):
         for r in _assign_cid_pandas(q, cents, "vec_id").collect()
     }
     assert lit == pnd and len(lit) == 120
+
+
+def test_extract_features_all_empty_batch(spark):
+    """A batch consisting ONLY of zero-token documents must produce
+    zero-filled features, not crash the segmented kernels (the empty
+    cumsum edge found by shape fuzzing)."""
+    df = spark.createDataFrame(
+        [(i, [], 0, "s") for i in range(5)],
+        "doc_id long, tokens array<int>, n_tok int, source string",
+    )
+    fplan = FruitPlan(
+        (Slice(iss=ISSSpec((W("[1]"), W("[11]"))), sieves=(Sieve("end"),)),)
+    )
+    fcols = EX.feature_columns(fplan)
+    out = EX.extract_features(df, fplan).collect()
+    assert len(out) == 5
+    assert all(r[c] == 0.0 for r in out for c in fcols)
