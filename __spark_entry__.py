@@ -1255,6 +1255,8 @@ FROM documents d JOIN fp ON d.doc_id = fp.doc_id
 _LANG_RU = "синтаксис потока данных и проверка качества текста"
 _LANG_ZH = "数据质量检查与流水线处理系统的并行计算"
 _LANG_JA = "データの品質を検査するシステムです"
+_LANG_KO = "데이터 품질 검사 시스템 파이프라인 처리"
+_LANG_AR = "نظام فحص جودة البيانات ومعالجة التدفق"
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1271,6 +1273,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 13 == 0, F.lit(_LANG_RU))
         .when(F.col("doc_id") % 13 == 1, F.lit(_LANG_ZH))
         .when(F.col("doc_id") % 13 == 2, F.lit(_LANG_JA))
+        .when(F.col("doc_id") % 13 == 3, F.lit(_LANG_KO))
+        .when(F.col("doc_id") % 13 == 4, F.lit(_LANG_AR))
         .otherwise(F.col("text")),
     )
     out = lang_id(docs)
@@ -1292,6 +1296,8 @@ WITH d AS (
         CASE WHEN doc_id % 13 = 0 THEN '{_LANG_RU}'
              WHEN doc_id % 13 = 1 THEN '{_LANG_ZH}'
              WHEN doc_id % 13 = 2 THEN '{_LANG_JA}'
+             WHEN doc_id % 13 = 3 THEN '{_LANG_KO}'
+             WHEN doc_id % 13 = 4 THEN '{_LANG_AR}'
              ELSE text END AS text
     FROM documents
 ),
@@ -1302,6 +1308,8 @@ s AS (
         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_han,
         length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) AS n_kana,
         length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS n_cyr,
+        length(regexp_replace(text, '[^가-힣]', '', 'g')) AS n_hang,
+        length(regexp_replace(text, '[^؀-ۿ]', '', 'g')) AS n_arab,
         len(list_filter(string_split(lower(text), ' '),
             w -> w IN ('the','a','of','and','is'))) AS s_en,
         len(list_filter(string_split(lower(text), ' '),
@@ -1335,10 +1343,16 @@ SELECT CAST(s.doc_id AS BIGINT) AS doc_id, labelled_lang,
        CAST(s_nl AS BIGINT) AS s_nl,
        CASE WHEN (n_han + n_kana) * 10 > nc * 3 AND n_kana > 0 THEN 'ja'
             WHEN (n_han + n_kana) * 10 > nc * 3 THEN 'zh'
+            WHEN n_hang * 10 > nc * 3 THEN 'ko'
+            WHEN n_arab * 10 > nc * 3 THEN 'ar'
             WHEN n_cyr * 10 > nc * 3 THEN 'ru'
             ELSE b.lang END AS pred_lang,
        CASE WHEN (n_han + n_kana) * 10 > nc * 3
                 THEN ROUND(CAST(n_han + n_kana AS DOUBLE) / nc, 6)
+            WHEN n_hang * 10 > nc * 3
+                THEN ROUND(CAST(n_hang AS DOUBLE) / nc, 6)
+            WHEN n_arab * 10 > nc * 3
+                THEN ROUND(CAST(n_arab AS DOUBLE) / nc, 6)
             WHEN n_cyr * 10 > nc * 3
                 THEN ROUND(CAST(n_cyr AS DOUBLE) / nc, 6)
             ELSE ROUND(CAST(-b.neg AS DOUBLE) / nw, 6) END AS conf_r6

@@ -1056,6 +1056,8 @@ SCRIPT_RANGES = {
     "han": "一-鿿",     # CJK unified ideographs
     "kana": "぀-ヿ",    # hiragana + katakana
     "cyr": "Ѐ-ӿ",     # Cyrillic
+    "hangul": "가-힣",  # Hangul syllables
+    "arab": "؀-ۿ",     # Arabic + Arabic supplement
 }
 #: a script claims the document when its chars exceed 3/10 of the text
 SCRIPT_NUM, SCRIPT_DEN = 3, 10
@@ -1070,12 +1072,13 @@ def _script_count(text_col: str, ranges: str):
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Two-stage language heuristic.
 
-    Stage 1 — script-range detector: per-document counts of Han, kana
-    and Cyrillic characters (a regexp_replace + length projection, pure
-    JVM).  A script that covers > 3/10 of the characters decides
-    directly: kana present -> ``ja``, else Han -> ``zh``; Cyrillic ->
-    ``ru`` — integer threshold arithmetic so every engine agrees
-    exactly.  Confidence = script-char fraction.
+    Stage 1 — script-range detector: per-document counts of Han, kana,
+    Cyrillic, Hangul and Arabic characters (a regexp_replace + length
+    projection, pure JVM).  A script that covers > 3/10 of the
+    characters decides directly: kana present -> ``ja``, else Han ->
+    ``zh``; Hangul -> ``ko``; Arabic -> ``ar``; Cyrillic -> ``ru`` —
+    integer threshold arithmetic so every engine agrees exactly.
+    Confidence = script-char fraction.
 
     Stage 2 — latin fallback, generic over LANG_MARKERS: per-language
     stopword-marker hit counts, argmax with the table's priority order
@@ -1103,27 +1106,39 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         _script_count(text_col, SCRIPT_RANGES["han"]).alias("_han"),
         _script_count(text_col, SCRIPT_RANGES["kana"]).alias("_kana"),
         _script_count(text_col, SCRIPT_RANGES["cyr"]).alias("_cyr"),
+        _script_count(text_col, SCRIPT_RANGES["hangul"]).alias("_hang"),
+        _script_count(text_col, SCRIPT_RANGES["arab"]).alias("_arab"),
         *cols,
     )
     best = F.element_at(F.array_sort(F.array(*structs)), 1)
     cjk = F.col("_han") + F.col("_kana")
-    cjk_hit = cjk * SCRIPT_DEN > F.col("_nc") * SCRIPT_NUM
-    cyr_hit = F.col("_cyr") * SCRIPT_DEN > F.col("_nc") * SCRIPT_NUM
+
+    def hit(c):
+        return c * SCRIPT_DEN > F.col("_nc") * SCRIPT_NUM
+
+    cjk_hit = hit(cjk)
+    hang_hit = hit(F.col("_hang"))
+    arab_hit = hit(F.col("_arab"))
+    cyr_hit = hit(F.col("_cyr"))
     pred = (
         F.when(cjk_hit & (F.col("_kana") > 0), F.lit("ja"))
         .when(cjk_hit, F.lit("zh"))
+        .when(hang_hit, F.lit("ko"))
+        .when(arab_hit, F.lit("ar"))
         .when(cyr_hit, F.lit("ru"))
         .otherwise(best["lang"])
     )
     conf = (
         F.when(cjk_hit, F.round(cjk / F.col("_nc"), 6))
+        .when(hang_hit, F.round(F.col("_hang") / F.col("_nc"), 6))
+        .when(arab_hit, F.round(F.col("_arab") / F.col("_nc"), 6))
         .when(cyr_hit, F.round(F.col("_cyr") / F.col("_nc"), 6))
         .otherwise(F.round((-best["neg"]) / F.col("_nw"), 6))
     )
     return (
         scored.withColumn("pred_lang", pred)
         .withColumn("conf_r6", conf)
-        .drop("_nw", "_nc", "_han", "_kana", "_cyr")
+        .drop("_nw", "_nc", "_han", "_kana", "_cyr", "_hang", "_arab")
     )
 
 

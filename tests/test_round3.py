@@ -246,11 +246,14 @@ def test_lang_id_script_detector(spark):
             (2, "数据质量检查与流水线处理", "zh"),
             (3, "これはテストです", "ja"),
             (4, "mostly english text with один russian word", "en"),
+            (5, "데이터 품질 검사 시스템", "ko"),
+            (6, "نظام فحص جودة البيانات", "ar"),
         ],
         "doc_id long, text string, lang string",
     )
     got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
-    assert got == {0: "en", 1: "ru", 2: "zh", 3: "ja", 4: "en"}
+    assert got == {0: "en", 1: "ru", 2: "zh", 3: "ja", 4: "en",
+                   5: "ko", 6: "ar"}
 
 
 def test_bpe_train_and_tokenize(spark):
