@@ -290,14 +290,6 @@ def plan_has_pre(fplan: Pl.FruitPlan) -> bool:
     )
 
 
-def plan_has_coswiss(fplan: Pl.FruitPlan) -> bool:
-    return any(
-        isinstance(spec, Pl.CosWISSSpec)
-        for sl in fplan.slices
-        for spec in sl.iss_chain()
-    )
-
-
 def compute_features_flat(
     values: np.ndarray, offsets: np.ndarray, fplan: Pl.FruitPlan
 ) -> np.ndarray:
@@ -560,6 +552,24 @@ def _emit_streams_padded(ctx, Xp: np.ndarray, specs: tuple, X_orig: np.ndarray):
     from ..kernels import padded as KP2
 
     spec = specs[0]
+    if isinstance(spec, Pl.CosWISSSpec):
+        # per-word x per-freq emission (no cross-word CSE in the
+        # alternative layout); non-total CosWISS streams have constant
+        # tails (zero pads kill every summand), total does not
+        for w in spec.words:
+            for f in spec.freqs:
+                stream = KP2.coswiss_p(
+                    ctx, Xp, w.matrix, f,
+                    exponent=spec.exponent, total=spec.total,
+                )
+                if len(specs) == 1:
+                    yield stream, not spec.total
+                else:
+                    yield from _emit_streams_padded(
+                        ctx, np.where(ctx.valid, stream, 0.0),
+                        specs[1:], X_orig,
+                    )
+        return
     lookup = None
     wp = dict(spec.weighting_params)
     on_prepared = wp.pop("on_prepared", False)
@@ -710,7 +720,6 @@ def extract_features(
     import os
 
     flat = plan_is_flat(fplan)
-    _has_cos = plan_has_coswiss(fplan)  # padded layout lacks a coswiss impl
     # flat segmented is the default hot path (measured ~1.3x faster than
     # band-padded: padding costs ~1.33x volume + per-band dispatch);
     # SPARK_GRAFT_EXEC=padded selects the band-padded alternative
@@ -826,7 +835,7 @@ def extract_features(
                 t0 = _time.perf_counter()
             if cast_scale is not None:
                 values *= cast_scale
-            if flat and use_padded and not _has_cos:
+            if flat and use_padded:
                 feats = compute_features_padded(values, offsets, fplan)
             elif flat:
                 feats = compute_features_flat(values, offsets, fplan)

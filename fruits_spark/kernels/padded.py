@@ -385,3 +385,73 @@ def iss_p(ctx: PadCtx, X: np.ndarray, word, extended, semiring,
         X[:, np.newaxis, :], word, extended=extended, semiring=semiring,
         alpha=alpha, lookup=lookup, total=total,
     )
+
+
+def coswiss_p(
+    ctx: PadCtx,
+    X: np.ndarray,
+    word,
+    freq: float,
+    exponent: int = 2,
+    total: bool = False,
+) -> np.ndarray:
+    """CosWISS on a padded band: same gap-choice trie DFS as
+    :func:`fruits_spark.kernels.iss.coswiss`, but the angle grid uses
+    each row's TRUE length (``pi * t / (f * (len-1))`` per row — the
+    band width is padding, not signal).  Zero pads kill every summand
+    (every letter has exponent >= 1, so ``tmp`` is 0 at pads), hence
+    the non-``total`` result has a constant tail; ``total`` multiplies
+    the final stream by position weights, so its tail is NOT constant
+    and callers must use masked sieves."""
+    from math import comb
+
+    word = np.asarray(word, dtype=np.int32)
+    exps = word[:, 0]
+    f32 = float(np.float32(freq))
+    denom = np.where(
+        ctx.lengths > 1, f32 * (ctx.lengths - 1).astype(np.float64), 1.0
+    )
+    g = np.pi * np.arange(ctx.L)[None, :] / denom[:, None]
+    sin_w, cos_w = np.sin(g), np.cos(g)
+    n_let = len(exps)
+    n_gaps = (n_let + 1 if total else n_let) - 1
+    result = np.zeros_like(X)
+
+    def shift1(a):
+        out = np.zeros_like(a)
+        out[:, 1:] = a[:, :-1]
+        return out
+
+    def step(state, k, sin_e, cos_e):
+        tmp = shift1(state) if k > 0 else state
+        tmp = tmp * X ** int(exps[k])
+        for _ in range(sin_e):
+            tmp = tmp * sin_w
+        for _ in range(cos_e):
+            tmp = tmp * cos_w
+        return np.cumsum(tmp, axis=-1)
+
+    def dfs(k, state, coeff, prev):
+        nonlocal result
+        if k == n_let:
+            tmp = state
+            if total:
+                for _ in range(exponent - prev):
+                    tmp = tmp * sin_w
+                for _ in range(prev):
+                    tmp = tmp * cos_w
+            result += coeff * tmp
+            return
+        right_sin = (exponent - prev) if k > 0 else 0
+        right_cos = prev if k > 0 else 0
+        if k < n_gaps:
+            for c in range(exponent + 1):
+                st = step(state, k, right_sin + (exponent - c),
+                          right_cos + c)
+                dfs(k + 1, st, coeff * comb(exponent, c), c)
+        else:
+            st = step(state, k, right_sin, right_cos)
+            dfs(k + 1, st, coeff, prev)
+
+    dfs(0, np.ones_like(X), 1, 0)
+    return result

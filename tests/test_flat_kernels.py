@@ -124,14 +124,9 @@ def _assert_match(got, expect, name, int_domain):
 @pytest.mark.parametrize("name", list(PLANS))
 @pytest.mark.parametrize("int_domain", [True, False])
 def test_padded_matches_bucketed(name, int_domain):
-    from fruits_spark.engine.executor import (
-        compute_features_padded,
-        plan_has_coswiss,
-    )
+    from fruits_spark.engine.executor import compute_features_padded
 
     fplan = PLANS[name]
-    if plan_has_coswiss(fplan):
-        pytest.skip("padded layout has no coswiss impl (flat handles it)")
     values, offsets = random_batch(int_domain=int_domain)
     got = compute_features_padded(values, offsets, fplan)
     expect = bucketed_features(values, offsets, fplan)
