@@ -554,16 +554,24 @@ def _emit_streams_padded(ctx, Xp: np.ndarray, specs: tuple, X_orig: np.ndarray):
     spec = specs[0]
     if isinstance(spec, Pl.CosWISSSpec):
         # per-word x per-freq emission (no cross-word CSE in the
-        # alternative layout); non-total CosWISS streams have constant
-        # tails (zero pads kill every summand), total does not
+        # alternative layout); the angle grids depend only on freq, so
+        # they are computed once per freq and shared across words.
+        # Tail constancy needs BOTH: non-total (no trailing position
+        # weights) AND non-negative exponents — a negative exponent
+        # turns the zero pads into inf (0**-1), which poisons the tail
+        # (true positions stay correct: pads sit after them in the
+        # row), so such streams take the masked sieve path
+        grids = {f: KP2.coswiss_grids_p(ctx, f) for f in spec.freqs}
         for w in spec.words:
+            w_tail_ok = not spec.total and bool(np.all(w.matrix >= 0))
             for f in spec.freqs:
                 stream = KP2.coswiss_p(
                     ctx, Xp, w.matrix, f,
                     exponent=spec.exponent, total=spec.total,
+                    grids=grids[f],
                 )
                 if len(specs) == 1:
-                    yield stream, not spec.total
+                    yield stream, w_tail_ok
                 else:
                     yield from _emit_streams_padded(
                         ctx, np.where(ctx.valid, stream, 0.0),

@@ -387,6 +387,17 @@ def iss_p(ctx: PadCtx, X: np.ndarray, word, extended, semiring,
     )
 
 
+def coswiss_grids_p(ctx: PadCtx, freq: float):
+    """(sin, cos) angle grids for one frequency — shared across every
+    word of a CosWISS spec (they depend only on freq and geometry)."""
+    f32 = float(np.float32(freq))
+    denom = np.where(
+        ctx.lengths > 1, f32 * (ctx.lengths - 1).astype(np.float64), 1.0
+    )
+    g = np.pi * np.arange(ctx.L)[None, :] / denom[:, None]
+    return np.sin(g), np.cos(g)
+
+
 def coswiss_p(
     ctx: PadCtx,
     X: np.ndarray,
@@ -394,6 +405,7 @@ def coswiss_p(
     freq: float,
     exponent: int = 2,
     total: bool = False,
+    grids=None,
 ) -> np.ndarray:
     """CosWISS on a padded band: same gap-choice trie DFS as
     :func:`fruits_spark.kernels.iss.coswiss`, but the angle grid uses
@@ -407,12 +419,9 @@ def coswiss_p(
 
     word = np.asarray(word, dtype=np.int32)
     exps = word[:, 0]
-    f32 = float(np.float32(freq))
-    denom = np.where(
-        ctx.lengths > 1, f32 * (ctx.lengths - 1).astype(np.float64), 1.0
+    sin_w, cos_w = (
+        grids if grids is not None else coswiss_grids_p(ctx, freq)
     )
-    g = np.pi * np.arange(ctx.L)[None, :] / denom[:, None]
-    sin_w, cos_w = np.sin(g), np.cos(g)
     n_let = len(exps)
     n_gaps = (n_let + 1 if total else n_let) - 1
     result = np.zeros_like(X)

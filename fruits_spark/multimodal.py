@@ -193,6 +193,30 @@ WAV_SAMPLE_RATE = 8000
 #: sample(doc, i) = ((doc_id + 1) * 17 + i * 13) % 65536 - 32768
 
 
+def wav_blob(pcm, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Canonical 44-byte-header RIFF/WAVE PCM16-mono file for an int16
+    sample array — THE production header writer (synth_wav_blobs and
+    the fuzz suite both build through here)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(pcm).astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def synth_wav_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Standard RIFF/WAVE PCM16-mono files per document (canonical
     44-byte header + little-endian int16 samples) — a REAL public
@@ -200,7 +224,6 @@ def synth_wav_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     column seam beyond the synthetic FRB1 container.  n_samples =
     doc_id % 50 + 20; samples follow the integer formula above."""
     import pandas as pd
-    import struct
 
     schema = f"{id_col} long, blob binary"
 
@@ -213,24 +236,8 @@ def synth_wav_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 d = int(d)
                 ns = d % 50 + 20
                 i = np.arange(ns, dtype=np.int64)
-                pcm = (((d + 1) * 17 + i * 13) % 65536 - 32768).astype(
-                    "<i2"
-                )
-                data = pcm.tobytes()
-                hdr = (
-                    b"RIFF"
-                    + struct.pack("<I", 36 + len(data))
-                    + b"WAVE"
-                    + b"fmt "
-                    + struct.pack(
-                        "<IHHIIHH",
-                        16, 1, 1, WAV_SAMPLE_RATE,
-                        WAV_SAMPLE_RATE * 2, 2, 16,
-                    )
-                    + b"data"
-                    + struct.pack("<I", len(data))
-                )
-                blobs.append(hdr + data)
+                pcm = ((d + 1) * 17 + i * 13) % 65536 - 32768
+                blobs.append(wav_blob(pcm))
             yield pd.DataFrame(
                 {id_col: pdf[id_col].astype("int64"), "blob": blobs}
             )

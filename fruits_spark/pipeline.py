@@ -908,6 +908,14 @@ def train_bpe_merges(
     for r in rows:
         for w in re.findall(r"[a-z]+|[0-9]+", (r[text_col] or "").lower()):
             word_freq[w] += 1
+    return bpe_merges_from_word_freq(word_freq, n_merges)
+
+
+def bpe_merges_from_word_freq(word_freq, n_merges: int):
+    """The pure training loop behind :func:`train_bpe_merges` (exposed
+    so property tests fuzz the PRODUCTION algorithm, not a copy)."""
+    from collections import Counter
+
     seqs = {w: tuple(w) + ("</w>",) for w in word_freq}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -936,6 +944,22 @@ def train_bpe_merges(
                     i += 1
             seqs[w] = tuple(out)
     return merges
+
+
+def bpe_encode_word(w: str, ranks: dict, vocab: dict) -> list[int]:
+    """Greedy lowest-rank merge encoding of one word — shared by
+    :func:`bpe_tokenize`'s kernel and the fuzz suite."""
+    s = list(w) + ["</w>"]
+    while len(s) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        s[best_i:best_i + 2] = [s[best_i] + s[best_i + 1]]
+    return [vocab[t] for t in s if t in vocab]
 
 
 def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
@@ -975,17 +999,7 @@ def bpe_tokenize(
     )
 
     def encode_word(w: str) -> list[int]:
-        s = list(w) + ["</w>"]
-        while len(s) > 1:
-            best_rank, best_i = None, -1
-            for i in range(len(s) - 1):
-                r = ranks.get((s[i], s[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
-            if best_rank is None:
-                break
-            s[best_i:best_i + 2] = [s[best_i] + s[best_i + 1]]
-        return [vocab[t] for t in s if t in vocab]
+        return bpe_encode_word(w, ranks, vocab)
 
     import re
 
@@ -1057,7 +1071,9 @@ SCRIPT_RANGES = {
     "kana": "぀-ヿ",    # hiragana + katakana
     "cyr": "Ѐ-ӿ",     # Cyrillic
     "hangul": "가-힣",  # Hangul syllables
-    "arab": "؀-ۿ",     # Arabic + Arabic supplement
+    "arab": "؀-ۿ",     # Arabic block (supplement intentionally excluded
+                        # — the DuckDB oracle regex mirrors this range
+                        # verbatim; change BOTH or neither)
 }
 #: a script claims the document when its chars exceed 3/10 of the text
 SCRIPT_NUM, SCRIPT_DEN = 3, 10

@@ -320,12 +320,13 @@ def test_carry_modes_bit_identical():
     offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
     x = rng.normal(size=int(offsets[-1]))
     outs = {}
+    orig = KF._CARRY_MODE
     try:
         for mode in ("auto", "slice", "gather"):
             KF._CARRY_MODE = mode
             outs[mode] = KF.Seg(offsets).cumsum(x.copy())
     finally:
-        KF._CARRY_MODE = "auto"
+        KF._CARRY_MODE = orig
     np.testing.assert_array_equal(outs["slice"], outs["gather"])
     np.testing.assert_array_equal(outs["auto"], outs["slice"])
     # reference: independent per-segment cumsums
@@ -534,3 +535,32 @@ def test_extract_features_all_empty_batch(spark):
     out = EX.extract_features(df, fplan).collect()
     assert len(out) == 5
     assert all(r[c] == 0.0 for r in out for c in fcols)
+
+
+def test_padded_coswiss_negative_exponent_matches_flat():
+    """Padded CosWISS with a NEGATIVE exponent word: pads become inf
+    (0**-1) so the tail is poisoned — the emitter must route these
+    streams to masked sieves, matching the flat layout (review
+    finding: tail_const=True read inf tails as data)."""
+    from fruits_spark.engine.executor import (
+        compute_features_flat, compute_features_padded,
+    )
+    from fruits_spark.plan import CosWISSSpec, Sieve, Slice, FruitPlan
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=CosWISSSpec((W("[(-1)][1]"),), (0.5,)),
+                sieves=(Sieve("max"), Sieve("ppv", {"quantiles": [0.0],
+                                                    "constant": [True]})),
+            ),
+        )
+    )
+    rng = np.random.default_rng(4)
+    lens = rng.integers(3, 30, size=12)
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    # strictly positive values so x**-1 is finite in the true region
+    values = rng.uniform(0.5, 2.0, size=int(offsets[-1]))
+    flat = compute_features_flat(values, offsets, fplan)
+    padded = compute_features_padded(values, offsets, fplan)
+    np.testing.assert_allclose(padded, flat, rtol=1e-9, atol=1e-12)

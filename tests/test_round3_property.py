@@ -4,21 +4,13 @@ arbitrary segment shapes.  No Spark session needed — these exercise the
 pure kernels / codecs directly."""
 
 import io
-import struct
 import wave
 
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-
-def _wav_blob(pcm: np.ndarray, sr: int = 8000) -> bytes:
-    data = pcm.astype("<i2").tobytes()
-    return (
-        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
+from fruits_spark.multimodal import wav_blob
 
 
 @settings(max_examples=40, deadline=None)
@@ -33,7 +25,7 @@ def test_wav_container_roundtrips_through_stdlib(samples, sr):
     stdlib wave module with identical samples — the container format
     itself is fuzz-proof, not just the fixed-formula corpus."""
     pcm = np.array(samples, dtype=np.int16)
-    blob = _wav_blob(pcm, sr)
+    blob = wav_blob(pcm, sr)
     with wave.open(io.BytesIO(blob)) as wf:
         assert wf.getframerate() == sr
         assert wf.getnframes() == len(samples)
@@ -57,67 +49,26 @@ def test_bpe_encode_decode_inverse(texts, n_merges):
     sequence recovers exactly the regex-extracted words of the corpus —
     merges never lose or corrupt symbols, at any merge count."""
     import re
-
-    from fruits_spark.pipeline import bpe_vocab, train_bpe_merges
-
-    # train_bpe_merges is driver-side math after the sample collect;
-    # replicate its input form without a Spark session
     from collections import Counter
 
+    from fruits_spark.pipeline import (
+        bpe_encode_word, bpe_merges_from_word_freq, bpe_vocab,
+    )
+
+    # the same word_freq form train_bpe_merges builds after its sample
+    # collect; from here down everything is the PRODUCTION code path
     word_freq = Counter()
     for t in texts:
         for w in re.findall(r"[a-z]+|[0-9]+", t.lower()):
             word_freq[w] += 1
     if not word_freq:
         return
-    # train on a fake docs table via the internal algorithm: reuse the
-    # public function by monkey-free direct computation
-    seqs = {w: tuple(w) + ("</w>",) for w in word_freq}
-    merges = []
-    for _ in range(n_merges):
-        pc = Counter()
-        for w, f in word_freq.items():
-            s = seqs[w]
-            for i in range(len(s) - 1):
-                pc[(s[i], s[i + 1])] += f
-        if not pc:
-            break
-        mx = max(pc.values())
-        best = min(p for p, c in pc.items() if c == mx)
-        merges.append(best)
-        a, b = best
-        ab = a + b
-        for w, s in seqs.items():
-            if a not in s:
-                continue
-            out, i = [], 0
-            while i < len(s):
-                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
-                    out.append(ab)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            seqs[w] = tuple(out)
+    merges = bpe_merges_from_word_freq(word_freq, n_merges)
     vocab = bpe_vocab(merges)
     inv = {v: k for k, v in vocab.items()}
     ranks = {p: i for i, p in enumerate(merges)}
-
-    def encode_word(w):
-        s = list(w) + ["</w>"]
-        while len(s) > 1:
-            best_rank, best_i = None, -1
-            for i in range(len(s) - 1):
-                r = ranks.get((s[i], s[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
-            if best_rank is None:
-                break
-            s[best_i:best_i + 2] = [s[best_i] + s[best_i + 1]]
-        return [vocab[t] for t in s if t in vocab]
-
     for w in word_freq:
-        ids = encode_word(w)
+        ids = bpe_encode_word(w, ranks, vocab)
         decoded = "".join(inv[i] for i in ids)
         assert decoded == w + "</w>"
 
@@ -135,10 +86,11 @@ def test_carry_modes_equal_any_shape(lens, seed):
     offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
     x = np.random.default_rng(seed).normal(size=int(offsets[-1]))
     outs = {}
+    orig = KF._CARRY_MODE
     try:
         for mode in ("slice", "gather"):
             KF._CARRY_MODE = mode
             outs[mode] = KF.Seg(offsets).cumsum(x.copy())
     finally:
-        KF._CARRY_MODE = "auto"
+        KF._CARRY_MODE = orig
     np.testing.assert_array_equal(outs["slice"], outs["gather"])
