@@ -43,7 +43,7 @@ def main() -> None:
 
     from fruits_spark.engine.session import build_session
     from fruits_spark.pipeline import (
-        exact_duplicates, minhash_lsh_candidates, simhash,
+        exact_duplicates, jaccard_pairs, minhash_lsh_candidates, simhash,
     )
 
     spark = build_session(
@@ -92,6 +92,24 @@ def main() -> None:
     t_sh = min_of(lambda: simhash(docs).count())
     sh = simhash(docs).count()
     print(f"n={n} simhash fingerprints {t_sh:.1f}s rows={sh}", flush=True)
+
+    # capped exact Jaccard — the corpus-scale variant of the
+    # verification oracle (stop-shingle cut bounds the self-join)
+    t_j = min_of(
+        lambda: jaccard_pairs(
+            docs, threshold=0.5, max_shingle_freq=100
+        ).count()
+    )
+    jp = jaccard_pairs(docs, threshold=0.5, max_shingle_freq=100)
+    n_jp = jp.count()
+    j_hits = jp.join(
+        spark.createDataFrame(
+            [(a, b) for a, b in planted], "doc_a long, doc_b long"
+        ),
+        ["doc_a", "doc_b"],
+    ).count()
+    print(f"n={n} jaccard_capped {t_j:.1f}s pairs={n_jp} "
+          f"planted_recall={j_hits / len(planted):.3f}", flush=True)
     spark.stop()
 
 
