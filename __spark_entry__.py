@@ -1204,11 +1204,19 @@ WHERE na > 0 AND nb > 0
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality features (char/word/BPE-ish token counts, type-token
     ratio, stopword count) joined with the positional rolling-hash
-    document fingerprint (order-sensitive, integer-exact)."""
-    from fruits_spark.pipeline import fingerprint, text_stats
+    document fingerprint (order-sensitive, integer-exact) and benchmark
+    decontamination (docs sharing any 5-gram with the synthetic
+    "benchmark" slice doc_id % 101 == 7 are flagged; the benchmark
+    shingle set is broadcast — pipeline.decontaminate)."""
+    from fruits_spark.pipeline import decontaminate, fingerprint, text_stats
 
     docs = _read(spark, sf_dir, "documents")
-    out = text_stats(docs).join(fingerprint(docs), "doc_id")
+    bench = docs.where(F.col("doc_id") % 101 == 7)
+    out = (
+        text_stats(docs)
+        .join(fingerprint(docs), "doc_id")
+        .join(decontaminate(docs, bench, n=5), "doc_id")
+    )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
@@ -1218,6 +1226,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ttr", 6).alias("ttr_r6"),
         F.col("n_stopwords").cast("long").alias("n_stopwords"),
         F.col("fingerprint").cast("long").alias("fingerprint"),
+        F.col("n_contaminated_ngrams").cast("long")
+        .alias("n_contaminated_ngrams"),
+        F.col("contaminated").cast("long").alias("contaminated"),
     )
 
 
@@ -1230,6 +1241,29 @@ WITH fp AS (
                unnest(range(1, length(text) + 1)) AS i
         FROM documents
     )
+    GROUP BY doc_id
+),
+bsh AS (
+    SELECT DISTINCT array_to_string(ws[i + 1 : i + 5], ' ') AS shingle
+    FROM (
+        SELECT ws, unnest(range(0, GREATEST(len(ws) - 4, 0))) AS i
+        FROM (SELECT string_split(lower(text), ' ') AS ws
+              FROM documents WHERE doc_id % 101 = 7)
+    )
+),
+dsh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(ws[i + 1 : i + 5], ' ') AS shingle
+    FROM (
+        SELECT doc_id, ws,
+               unnest(range(0, GREATEST(len(ws) - 4, 0))) AS i
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+              FROM documents)
+    )
+),
+contam AS (
+    SELECT doc_id, COUNT(*) AS n_contam
+    FROM dsh JOIN bsh USING (shingle)
     GROUP BY doc_id
 )
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
@@ -1244,8 +1278,12 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(len(list_filter(string_split(lower(text), ' '),
             w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT)
            AS n_stopwords,
-       CAST(fp.fingerprint AS BIGINT) AS fingerprint
-FROM documents d JOIN fp ON d.doc_id = fp.doc_id
+       CAST(fp.fingerprint AS BIGINT) AS fingerprint,
+       CAST(COALESCE(c.n_contam, 0) AS BIGINT) AS n_contaminated_ngrams,
+       CAST(COALESCE(c.n_contam, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d
+JOIN fp ON d.doc_id = fp.doc_id
+LEFT JOIN contam c ON d.doc_id = c.doc_id
 """
 
 

@@ -59,11 +59,17 @@ def _words(text_col: str):
 def shingle_df(
     docs: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(doc_id, shingle) pairs — distinct word n-grams per document."""
+    """(doc_id, shingle) pairs — distinct word n-grams per document.
+
+    Docs with fewer than ``n`` words contribute no shingles (guarded:
+    Spark's ``sequence(0, size - n)`` is DESCENDING when size < n and
+    would emit junk slices)."""
     w = _words(text_col)
     shingles = F.expr(
+        f"CASE WHEN size(split(lower({text_col}), ' ')) >= {n} THEN "
         f"transform(sequence(0, size(split(lower({text_col}), ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {n})))"
+        f"i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {n}))) "
+        f"ELSE array() END"
     )
     return (
         docs.select("doc_id", F.explode(shingles).alias("shingle"))
@@ -133,6 +139,49 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with an evaluation/benchmark corpus — the standard
+    train-test overlap scrub for LLM training data (n-gram collision;
+    real pipelines use n around 8-13, smaller here because the synthetic
+    docs are short).
+
+    Scale shape: the benchmark side is tiny by definition (eval sets are
+    megabytes against a 100 TB corpus), so its distinct shingle set is
+    broadcast and the training side streams map-side through one
+    broadcast hash join; the only shuffle moves (doc_id, count) partial
+    aggregates.  Never all-pairs, never a sort.
+
+    Returns one row per training doc:
+    (doc_id, n_contaminated_ngrams, contaminated) where
+    ``n_contaminated_ngrams`` counts DISTINCT overlapping n-grams and
+    docs with fewer than ``n`` words are trivially clean."""
+    bench_sh = (
+        shingle_df(benchmark, text_col, n).select("shingle").distinct()
+    )
+    sh = shingle_df(docs, text_col, n)
+    hits = (
+        sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    n_hits = F.coalesce("n_contaminated_ngrams", F.lit(0))
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_hits.alias("n_contaminated_ngrams"),
+            (n_hits > 0).cast("int").alias("contaminated"),
+        )
+    )
 
 
 # Portable seeded string hash, expressible identically in Spark SQL and

@@ -564,3 +564,58 @@ def test_padded_coswiss_negative_exponent_matches_flat():
     flat = compute_features_flat(values, offsets, fplan)
     padded = compute_features_padded(values, offsets, fplan)
     np.testing.assert_allclose(padded, flat, rtol=1e-9, atol=1e-12)
+
+
+def test_shingle_df_short_docs_emit_no_shingles(spark):
+    from fruits_spark.pipeline import shingle_df
+
+    docs = spark.createDataFrame(
+        [(0, "one two"), (1, "a b c d"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = shingle_df(docs, n=3).collect()
+    # doc 0 (2 words) and doc 2 (empty) must not emit junk descending
+    # slices; doc 1 has exactly 2 trigrams
+    assert {r.doc_id for r in out} == {1}
+    assert sorted(r.shingle for r in out) == ["a b c", "b c d"]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from fruits_spark.pipeline import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a totally different sentence about spark engines here"),
+            (2, "prefix words then quick brown fox jumps over suffix"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_contaminated_ngrams, r.contaminated)
+        for r in decontaminate(docs, bench, n=5).collect()
+    }
+    assert out[0] == (1, 1)      # contains the benchmark 5-gram
+    assert out[2] == (1, 1)      # same 5-gram, different position
+    assert out[1] == (0, 0)
+    assert out[3] == (0, 0)      # < n words: trivially clean
+    assert len(out) == 4         # one row per training doc
+
+
+def test_decontaminate_counts_distinct_ngrams(spark):
+    from fruits_spark.pipeline import decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e f")], "doc_id long, text string"
+    )
+    row = decontaminate(docs, bench, n=5).collect()[0]
+    # benchmark contributes 5-grams "a b c d e" and "b c d e f";
+    # doc 0 contains both
+    assert row.n_contaminated_ngrams == 2 and row.contaminated == 1
