@@ -154,11 +154,19 @@ def retire_runs(
     staging copy between A's two renames.  The lock makes the second
     caller wait instead of failing; crash-with-lock-held is harmless
     because ``flock`` locks die with the process."""
-    import shutil
+    with manifest_write_lock(base):
+        _retire_locked(spark, base, tiers, run_ids)
+
+
+def manifest_write_lock(base: str):
+    """Advisory exclusive lock serializing manifest REWRITERS
+    (:func:`retire_runs`, :func:`compact_manifest`) on one base — they
+    share the ``_retiring``/``_old`` staging names.  Append-only commit
+    writers and readers never take it."""
     from contextlib import contextmanager
 
     @contextmanager
-    def _retire_lock():
+    def _lock():
         import fcntl
 
         os.makedirs(base, exist_ok=True)
@@ -172,8 +180,7 @@ def retire_runs(
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 
-    with _retire_lock():
-        _retire_locked(spark, base, tiers, run_ids)
+    return _lock()
 
 
 def _retire_locked(
@@ -193,6 +200,14 @@ def _retire_locked(
     except Exception:
         return
     kept = m.where(~F.col("run_id").isin(run_ids))
+    _swap_in_manifest(path, kept)
+
+
+def _swap_in_manifest(path: str, kept: DataFrame) -> None:
+    """Write-new-then-swap a manifest rewrite (caller holds the lock;
+    :func:`recover_manifest` heals a crash between the renames)."""
+    import shutil
+
     tmp = path + "_retiring"
     kept.write.mode("overwrite").parquet(tmp)
     old = path + "_old"
@@ -201,3 +216,29 @@ def _retire_locked(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+
+
+def compact_manifest(spark: SparkSession, base: str, target_files: int = 1) -> dict:
+    """Maintenance: rewrite the lineage manifest into ``target_files``
+    parquet files.
+
+    The manifest is append-only — every :func:`commit_cells` call adds a
+    small file, so a long-lived base accrues one file per commit batch
+    and every resume anti-join / metrics read pays a file-open per
+    commit ever made.  Compaction is the same staged-swap used by
+    retirement (shared lock, shared staging names, healed by
+    :func:`recover_manifest`); on Iceberg deployments the equivalent is
+    ``CALL <catalog>.system.rewrite_manifests``.  Returns file counts
+    before/after."""
+    from .compact import count_data_files
+
+    with manifest_write_lock(base):
+        recover_manifest(base, clean=True)
+        path = manifest_path(base)
+        before = count_data_files(path)
+        try:
+            m = spark.read.parquet(path)
+        except Exception:
+            return {"files_before": before, "files_after": before}
+        _swap_in_manifest(path, m.coalesce(target_files))
+        return {"files_before": before, "files_after": count_data_files(path)}

@@ -44,6 +44,11 @@ def main() -> None:
     ap.add_argument("--retire-runs", default="",
                     help="comma-separated run_ids whose tier partitions "
                          "are dropped after this run (retention)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after committing, bin-pack this run's tier and "
+                         "codec files and rewrite the lineage manifest "
+                         "(small-file maintenance; idempotent)")
+    ap.add_argument("--target-file-mb", type=int, default=128)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -152,6 +157,23 @@ def main() -> None:
             )
         LI.retire_runs(
             spark, args.output, [t.name for t, _ in tiers], retired
+        )
+
+    if args.compact:
+        from fruits_spark.engine import compact as CP
+
+        cstats = CP.compact_run(
+            spark, args.output, [t.name for t, _ in tiers], args.run_id,
+            target_file_bytes=args.target_file_mb << 20,
+        )
+        mstats = LI.compact_manifest(spark, args.output)
+        metrics["compact_files_before"] = (
+            sum(s["files_before"] for s in cstats.values())
+            + mstats["files_before"]
+        )
+        metrics["compact_files_after"] = (
+            sum(s["files_after"] for s in cstats.values())
+            + mstats["files_after"]
         )
 
     m = LI.run_metrics(spark, args.output, args.run_id).collect()
