@@ -63,18 +63,22 @@ def shingle_df(
 
     Docs with fewer than ``n`` words contribute no shingles (guarded:
     Spark's ``sequence(0, size - n)`` is DESCENDING when size < n and
-    would emit junk slices)."""
+    would emit junk slices).
+
+    Per-doc dedup happens INSIDE the array expression (array_distinct
+    before the explode) rather than as a DataFrame ``.distinct()`` —
+    same result, but zero Exchange: a corpus-wide hash-shuffle of every
+    (doc_id, shingle) pair is exactly the kind of cost that dominates at
+    100 TB, and dedup within one document never needs other documents."""
     w = _words(text_col)
     shingles = F.expr(
         f"CASE WHEN size(split(lower({text_col}), ' ')) >= {n} THEN "
+        f"array_distinct("
         f"transform(sequence(0, size(split(lower({text_col}), ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {n}))) "
-        f"ELSE array() END"
+        f"i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {n})))"
+        f") ELSE array() END"
     )
-    return (
-        docs.select("doc_id", F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 def jaccard_pairs(
