@@ -3185,7 +3185,7 @@ def q_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = RU.reagg_tier(
         fine, fc, bucket_expr=(F.col("bucket") % 8).cast("int")
     )
-    return coarse.select(
+    out = coarse.select(
         "source",
         F.col("bucket").cast("int").alias("bucket"),
         F.col("n_docs").cast("long").alias("n_docs"),
@@ -3193,25 +3193,61 @@ def q_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"sum_{fc[0]}").cast("long").alias("sum_end_1"),
         F.col(f"max_{fc[0]}").cast("long").alias("max_end_1"),
     )
+    # continuous-aggregate query ROUTING (rollup.route_range): answer a
+    # fine-bucket range query from whole coarse cells + fine edge cells
+    # only; the oracle recomputes both ranges straight from the tokens,
+    # so any off-by-one in the interior/edge split fails the hash.
+    # bucket=-1: [5,53) exercises both edges + interior; bucket=-2:
+    # [17,21) sits inside one coarse cell (degenerate all-fine path).
+    coarse_div = RU.reagg_tier(
+        fine, fc, bucket_expr=F.floor(F.col("bucket") / 8).cast("int")
+    )
+    for sentinel, (lo, hi) in ((-1, (5, 53)), (-2, (17, 21))):
+        routed = RU.route_range(fine, coarse_div, 8, lo, hi, fc).select(
+            "source",
+            F.lit(sentinel).cast("int").alias("bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_tok").cast("long").alias("sum_tok"),
+            F.col(f"sum_{fc[0]}").cast("long").alias("sum_end_1"),
+            F.col(f"max_{fc[0]}").cast("long").alias("max_end_1"),
+        )
+        out = out.unionByName(routed)
+    return out
 
 
 SQL_ROLLUP_REAGG = f"""
 WITH {SQL_TOKS},
 per_doc AS (
     SELECT doc_id, source, MAX(n_tok) AS n_tok,
-           (doc_id % 64) % 8 AS bucket,
+           (doc_id % 64) AS fb,
            SUM(x) AS e1
     FROM toks
-    GROUP BY doc_id, source, (doc_id % 64) % 8
+    GROUP BY doc_id, source, doc_id % 64
 )
 SELECT source,
-       CAST(bucket AS INT) AS bucket,
+       CAST(fb % 8 AS INT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
        CAST(SUM(e1) AS BIGINT) AS sum_end_1,
        CAST(MAX(e1) AS BIGINT) AS max_end_1
 FROM per_doc
-GROUP BY source, bucket
+GROUP BY source, fb % 8
+UNION ALL
+SELECT source, CAST(-1 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(e1) AS BIGINT) AS sum_end_1,
+       CAST(MAX(e1) AS BIGINT) AS max_end_1
+FROM per_doc WHERE fb >= 5 AND fb < 53
+GROUP BY source
+UNION ALL
+SELECT source, CAST(-2 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(e1) AS BIGINT) AS sum_end_1,
+       CAST(MAX(e1) AS BIGINT) AS max_end_1
+FROM per_doc WHERE fb >= 17 AND fb < 21
+GROUP BY source
 """
 
 

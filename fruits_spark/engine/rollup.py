@@ -201,6 +201,112 @@ def gap_fill(
     return out
 
 
+def _cell_payload(cells: DataFrame, feature_cols: list[str]) -> DataFrame:
+    """The algebraic payload columns shared by every tier (source +
+    counts + sum/max per feature) — the common schema cells of different
+    granularities are unioned on."""
+    cols = ["source", "n_docs", "sum_tok"]
+    for c in feature_cols:
+        cols.append(f"sum_{c}")
+        cols.append(f"max_{c}")
+    return cells.select(*cols)
+
+
+def route_range(
+    fine_cells: DataFrame,
+    coarse_cells: DataFrame,
+    factor: int,
+    lo: int,
+    hi: int,
+    feature_cols: list[str],
+) -> DataFrame:
+    """Answer per-source totals over the fine-bucket range ``[lo, hi)``
+    from the FEWEST cells (continuous-aggregate query routing, the read
+    side of the tier hierarchy): whole coarse cells for the aligned
+    interior, fine cells only for the two unaligned edges.
+
+    ``coarse_cells`` must be the ``reagg_tier`` of ``fine_cells`` with
+    ``bucket_expr = floor(bucket / factor)`` — coarse bucket ``b``
+    covers fine buckets ``[b*factor, (b+1)*factor)``.  The routed
+    answer is EXACT (all aggregates are the algebraic
+    :func:`reagg_exprs`), and reads ``O(range/factor) + 2*factor``
+    cells instead of ``O(range)``: over a 10^12-sequence table a range
+    spanning 10^7 fine buckets touches ~10^5 t100k cells plus at most
+    2*factor fine edge cells, with partition pruning on ``bucket``
+    doing the skipping when tiers are range-partitioned on it.  A
+    range that starts and ends inside one coarse cell degenerates to
+    the pure fine-cell path."""
+    if factor <= 0:
+        raise ValueError(f"factor must be positive, got {factor}")
+    if not 0 <= lo < hi:
+        raise ValueError(f"need 0 <= lo < hi, got [{lo}, {hi})")
+    ilo = -(-lo // factor)  # first fully-covered coarse bucket
+    ihi = hi // factor      # one past the last fully-covered coarse bucket
+    if ilo < ihi:
+        interior = coarse_cells.where(
+            (F.col("bucket") >= ilo) & (F.col("bucket") < ihi)
+        )
+        edges = fine_cells.where(
+            ((F.col("bucket") >= lo) & (F.col("bucket") < ilo * factor))
+            | ((F.col("bucket") >= ihi * factor) & (F.col("bucket") < hi))
+        )
+        cells = _cell_payload(interior, feature_cols).unionByName(
+            _cell_payload(edges, feature_cols)
+        )
+    else:
+        cells = _cell_payload(
+            fine_cells.where(
+                (F.col("bucket") >= lo) & (F.col("bucket") < hi)
+            ),
+            feature_cols,
+        )
+    return _sql_agg(cells, ["source"], reagg_exprs(feature_cols))
+
+
+def source_watermarks(cells: DataFrame) -> DataFrame:
+    """Per-source high-water mark (max materialized bucket) — one row
+    per source, always broadcastable no matter how many cells exist."""
+    return cells.groupBy("source").agg(F.max("bucket").alias("hwm"))
+
+
+def realtime_tier(
+    materialized: DataFrame,
+    features: DataFrame,
+    tier: Tier,
+    n_buckets: int,
+    feature_cols: list[str],
+    bucket_expr=None,
+) -> DataFrame:
+    """Real-time continuous aggregate: the committed materialized cells
+    unioned with the unmaterialized TAIL rolled up on the fly from raw
+    features — a query over this view is always current without waiting
+    for the next rollup run.
+
+    The tail is everything past the per-source high-water mark
+    (:func:`source_watermarks` over ``materialized``); a source with no
+    materialized cells contributes entirely from raw.  Requires the
+    continuous-aggregate invariant the lineage layer maintains: cells
+    are committed whole, in bucket order per source (``bucket`` must be
+    a position/time bucketing, not a hash — new data only lands in
+    buckets past the watermark).  Scale: the watermark join broadcasts
+    ONE row per source (anti-joining the full committed-cell set would
+    not broadcast at 10^9 cells), and with tiers range-partitioned on
+    ``bucket`` the ``bucket > hwm`` predicate prunes the raw scan to
+    the tail partitions."""
+    b = bucket_expr if bucket_expr is not None else bucket_col(n_buckets)
+    hwm = source_watermarks(materialized)
+    tail = (
+        features.withColumn("bucket", b)
+        .join(F.broadcast(hwm), "source", "left")
+        .where(F.col("hwm").isNull() | (F.col("bucket") > F.col("hwm")))
+        .drop("hwm")
+    )
+    fresh = rollup_tier(
+        tail, tier, n_buckets, feature_cols, bucket_expr=F.col("bucket")
+    )
+    return materialized.unionByName(fresh)
+
+
 def retention_filter(
     tier_df: DataFrame, tier: Tier, current_run: int, run_col: str = "run_id"
 ) -> DataFrame:

@@ -619,3 +619,106 @@ def test_decontaminate_counts_distinct_ngrams(spark):
     # benchmark contributes 5-grams "a b c d e" and "b c d e f";
     # doc 0 contains both
     assert row.n_contaminated_ngrams == 2 and row.contaminated == 1
+
+
+# ---------------------------------------------------------------------------
+# continuous-aggregate query routing + real-time tier view
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def _tier_fixture(spark):
+    """Per-doc features + fine (64-bucket) and range-aligned coarse
+    (factor 8) tier cells over a deterministic synthetic corpus."""
+    from fruits_spark import datagen
+    import fruits_spark.engine.rollup as RU
+
+    pdf = datagen.generate_pandas(240, seed=11, max_len=48)
+    df = spark.createDataFrame(pdf)
+    fplan = FruitPlan(
+        (Slice(iss=ISSSpec((W("[1]"),)), sieves=(Sieve("end"),)),)
+    )
+    fc = EX.feature_columns(fplan)
+    feats = EX.extract_features(df, fplan).cache()
+    fine = RU.rollup_tier(
+        feats, RU.Tier("t1k", 1000), 64, fc,
+        bucket_expr=F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int"),
+    ).cache()
+    coarse = RU.reagg_tier(
+        fine, fc, bucket_expr=F.floor(F.col("bucket") / 8).cast("int")
+    ).cache()
+    return feats, fine, coarse, fc
+
+
+def _direct_range(fine, lo, hi, fc):
+    import fruits_spark.engine.rollup as RU
+
+    cells = RU._cell_payload(
+        fine.where((F.col("bucket") >= lo) & (F.col("bucket") < hi)), fc
+    )
+    return RU._sql_agg(cells, ["source"], RU.reagg_exprs(fc))
+
+
+@pytest.mark.parametrize(
+    "lo,hi",
+    [
+        (5, 53),   # both edges + interior
+        (8, 48),   # fully aligned: no fine edge cells
+        (17, 21),  # inside one coarse cell: degenerate all-fine path
+        (0, 64),   # whole table
+        (7, 9),    # straddles one coarse boundary, no interior
+    ],
+)
+def test_route_range_matches_direct(spark, _tier_fixture, lo, hi):
+    import fruits_spark.engine.rollup as RU
+
+    feats, fine, coarse, fc = _tier_fixture
+    got = (
+        RU.route_range(fine, coarse, 8, lo, hi, fc)
+        .toPandas().sort_values("source").reset_index(drop=True)
+    )
+    want = (
+        _direct_range(fine, lo, hi, fc)
+        .toPandas().sort_values("source").reset_index(drop=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_route_range_rejects_bad_range(spark, _tier_fixture):
+    import fruits_spark.engine.rollup as RU
+
+    _, fine, coarse, fc = _tier_fixture
+    with pytest.raises(ValueError):
+        RU.route_range(fine, coarse, 8, 9, 9, fc)
+    with pytest.raises(ValueError):
+        RU.route_range(fine, coarse, 0, 0, 8, fc)
+
+
+def test_realtime_tier_matches_full_rollup(spark, _tier_fixture):
+    """Committed head cells + on-the-fly tail == the full rollup,
+    including a source with NO materialized cells (null watermark)."""
+    import fruits_spark.engine.rollup as RU
+
+    feats, _, _, fc = _tier_fixture
+    tier = RU.Tier("t1k", 1000)
+    # position bucketing off the numeric doc suffix (doc ids are
+    # 'srcN-000000123' strings)
+    pos_bucket = (
+        F.substring_index("doc_id", "-", -1).cast("long") % 16
+    ).cast("int")
+    full = RU.rollup_tier(
+        feats, tier, 16, fc, bucket_expr=pos_bucket
+    ).cache()
+    first_src = full.select(F.min("source").alias("s")).collect()[0].s
+    materialized = full.where(
+        (F.col("bucket") <= 7) & (F.col("source") != first_src)
+    )
+    got = (
+        RU.realtime_tier(materialized, feats, tier, 16, fc,
+                         bucket_expr=pos_bucket)
+        .toPandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    )
+    want = (
+        full.toPandas()
+        .sort_values(["source", "bucket"]).reset_index(drop=True)
+    )
+    assert got.equals(want[got.columns])
