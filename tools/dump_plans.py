@@ -141,6 +141,34 @@ def main() -> None:
         dec,
     ))
 
+    import tempfile
+
+    cells_dir = tempfile.mkdtemp(prefix="plans_cells_")
+    fine_m = RU.rollup_tier(
+        feats, RU.Tier("t1k", 1000), 64, fc,
+        bucket_expr=(F.col("doc_id") % 64).cast("int"),
+    )
+    fine_m.write.mode("overwrite").parquet(f"{cells_dir}/t1k")
+    RU.reagg_tier(
+        fine_m, fc, bucket_expr=F.floor(F.col("bucket") / 8).cast("int")
+    ).write.mode("overwrite").parquet(f"{cells_dir}/t100k")
+    routed = RU.route_range(
+        spark.read.parquet(f"{cells_dir}/t1k"),
+        spark.read.parquet(f"{cells_dir}/t100k"),
+        8, 5, 53, fc,
+    )
+    sections.append((
+        "Continuous-aggregate range-query routing",
+        "route_range over MATERIALIZED tier tables: the raw token table "
+        "never appears in the plan — the interior is a bucket-range "
+        "filter over coarse cells, the two edges a bucket-range filter "
+        "over fine cells (both reach the scans as PushedFilters, i.e. "
+        "partition pruning when tiers are range-partitioned on bucket), "
+        "merged by one partial+final HashAggregate over "
+        "O(range/factor) cell rows.",
+        routed,
+    ))
+
     res = e.queries()["resolution_ops"](spark, sf)
     sections.append((
         "Resolution ops",
