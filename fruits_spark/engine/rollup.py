@@ -263,6 +263,78 @@ def route_range(
     return _sql_agg(cells, ["source"], reagg_exprs(feature_cols))
 
 
+def _route_parts(
+    levels: list[tuple[DataFrame, int]], lo: int, hi: int,
+    feature_cols: list[str],
+) -> list[DataFrame]:
+    """Greedy coarsest-first split of ``[lo, hi)`` (in finest-bucket
+    units) into whole-cell slices: the coarsest level contributes its
+    aligned interior, the unaligned edges recurse into the next finer
+    level.  Each level contributes at most ``2 * (its bucket span /
+    next finer span)`` edge cells, so total cells read is
+    ``O(range/coarsest_factor + sum of factor ratios)``."""
+    cells, f = levels[-1]
+    ilo = -(-lo // f)
+    ihi = hi // f
+    if len(levels) == 1:
+        # the recursion bottoms out at the factor-1 level (enforced by
+        # route_range_multi), where every range is exactly representable
+        return [
+            _cell_payload(
+                cells.where((F.col("bucket") >= lo) & (F.col("bucket") < hi)),
+                feature_cols,
+            )
+        ]
+    out = []
+    if ilo < ihi:
+        out.append(
+            _cell_payload(
+                cells.where(
+                    (F.col("bucket") >= ilo) & (F.col("bucket") < ihi)
+                ),
+                feature_cols,
+            )
+        )
+        if lo < ilo * f:
+            out.extend(_route_parts(levels[:-1], lo, ilo * f, feature_cols))
+        if ihi * f < hi:
+            out.extend(_route_parts(levels[:-1], ihi * f, hi, feature_cols))
+    else:
+        out.extend(_route_parts(levels[:-1], lo, hi, feature_cols))
+    return out
+
+
+def route_range_multi(
+    levels: list[tuple[DataFrame, int]],
+    lo: int,
+    hi: int,
+    feature_cols: list[str],
+) -> DataFrame:
+    """N-level generalization of :func:`route_range`: answer per-source
+    totals over finest-bucket range ``[lo, hi)`` through a whole tier
+    hierarchy (e.g. ``[(t1k_cells, 1), (t100k_cells, 100),
+    (t10m_cells, 10_000)]`` — factors in finest-bucket units, finest
+    first with factor 1, each a multiple of the previous).  The
+    coarsest tier serves the aligned interior; every unaligned edge
+    cascades one level finer, so a range spanning 10^7 fine buckets
+    reads ~10^3 coarsest cells plus a few hundred edge cells instead
+    of 10^7 — and the raw table never appears in the plan."""
+    if not levels or levels[0][1] != 1:
+        raise ValueError("levels must be finest-first with factor 1")
+    for (_, a), (_, b) in zip(levels, levels[1:]):
+        if b <= a or b % a:
+            raise ValueError(
+                f"factors must be increasing multiples, got {a} then {b}"
+            )
+    if not 0 <= lo < hi:
+        raise ValueError(f"need 0 <= lo < hi, got [{lo}, {hi})")
+    parts = _route_parts(levels, lo, hi, feature_cols)
+    cells = parts[0]
+    for p in parts[1:]:
+        cells = cells.unionByName(p)
+    return _sql_agg(cells, ["source"], reagg_exprs(feature_cols))
+
+
 def source_watermarks(cells: DataFrame) -> DataFrame:
     """Per-source high-water mark (max materialized bucket) — one row
     per source, always broadcastable no matter how many cells exist."""

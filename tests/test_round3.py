@@ -722,3 +722,77 @@ def test_realtime_tier_matches_full_rollup(spark, _tier_fixture):
         .sort_values(["source", "bucket"]).reset_index(drop=True)
     )
     assert got.equals(want[got.columns])
+
+
+@pytest.fixture(scope="module")
+def _three_level(spark, _tier_fixture):
+    """fine (64 buckets, factor 1) -> mid (factor 4) -> coarse
+    (factor 16) range-aligned hierarchy."""
+    import fruits_spark.engine.rollup as RU
+
+    feats, fine, _, fc = _tier_fixture
+    mid = RU.reagg_tier(
+        fine, fc, bucket_expr=F.floor(F.col("bucket") / 4).cast("int")
+    ).cache()
+    coarse = RU.reagg_tier(
+        mid, fc, bucket_expr=F.floor(F.col("bucket") / 4).cast("int")
+    ).cache()
+    return fine, mid, coarse, fc
+
+
+@pytest.mark.parametrize(
+    "lo,hi",
+    [
+        (3, 61),   # edges at every level + coarse interior
+        (16, 48),  # coarse-aligned
+        (5, 15),   # inside one coarse cell, spans mid cells
+        (9, 11),   # inside one mid cell
+        (0, 64),   # whole table
+    ],
+)
+def test_route_range_multi_matches_direct(spark, _three_level, lo, hi):
+    import fruits_spark.engine.rollup as RU
+
+    fine, mid, coarse, fc = _three_level
+    got = (
+        RU.route_range_multi(
+            [(fine, 1), (mid, 4), (coarse, 16)], lo, hi, fc
+        )
+        .toPandas().sort_values("source").reset_index(drop=True)
+    )
+    want = (
+        _direct_range(fine, lo, hi, fc)
+        .toPandas().sort_values("source").reset_index(drop=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_route_parts_cell_bound(spark, _three_level):
+    """Every level contributes at most 2 * (next factor ratio) edge
+    cells per source beyond the coarse interior — the read-amplification
+    guarantee route_range_multi documents."""
+    import fruits_spark.engine.rollup as RU
+
+    fine, mid, coarse, fc = _three_level
+    n_src = fine.select("source").distinct().count()
+    for lo, hi in [(3, 61), (5, 15), (1, 63)]:
+        parts = RU._route_parts(
+            [(fine, 1), (mid, 4), (coarse, 16)], lo, hi, fc
+        )
+        total = sum(p.count() for p in parts)
+        interior = (hi - lo) // 16
+        # per source: interior coarse cells + <=2*4 mid edges + <=2*4
+        # fine edges (factor ratios 16/4 and 4/1)
+        assert total <= n_src * (interior + 2 * 4 + 2 * 4)
+
+
+def test_route_range_multi_validates(spark, _three_level):
+    import fruits_spark.engine.rollup as RU
+
+    fine, mid, coarse, fc = _three_level
+    with pytest.raises(ValueError):
+        RU.route_range_multi([(mid, 4), (coarse, 16)], 0, 8, fc)
+    with pytest.raises(ValueError):
+        RU.route_range_multi([(fine, 1), (mid, 4), (coarse, 6)], 0, 8, fc)
+    with pytest.raises(ValueError):
+        RU.route_range_multi([(fine, 1)], 8, 8, fc)
