@@ -119,15 +119,34 @@ def main() -> None:
     feats = extract_features(toks, fplan).cache()
 
     metrics = {}
+    # t100k is RANGE-ALIGNED over t1k (coarse bucket = t1k bucket //
+    # COARSE_FACTOR) and re-rolled from the t1k CELLS, never from the
+    # per-doc features: the coarse refresh costs O(t1k cells) instead
+    # of a second O(docs) aggregation pass, and the alignment makes the
+    # tier pair routable (rollup.route_range / jobs/route_query.py
+    # answer a fine-bucket range from coarse interior + fine edges).
+    COARSE_FACTOR = 100
+    nb1 = args.buckets_t1k
+    nb100 = -(-nb1 // COARSE_FACTOR)
     tiers = (
-        (RU.Tier("t1k", 1_000), args.buckets_t1k),
-        (RU.Tier("t100k", 100_000), max(args.buckets_t1k // 100, 4)),
+        (RU.Tier("t1k", 1_000), nb1),
+        (RU.Tier("t100k", 100_000), nb100),
     )
+    rolled_t1k = None
     for tier, nb in tiers:
         t_tier = time.time()
-        rolled = RU.rollup_tier_salted(
-            feats, tier, nb, fc, n_salts=args.salts
-        )
+        if tier.name == "t1k":
+            rolled = RU.rollup_tier_salted(
+                feats, tier, nb, fc, n_salts=args.salts
+            ).cache()
+            rolled_t1k = rolled
+        else:
+            rolled = RU.reagg_tier(
+                rolled_t1k, fc,
+                bucket_expr=F.floor(
+                    F.col("bucket") / COARSE_FACTOR
+                ).cast("int"),
+            )
         spine = RU.bucket_spine(rolled, nb)
         filled = RU.gap_fill(
             rolled, spine, fill_cols={f"sum_{c}": 0 for c in fc[:1]}
