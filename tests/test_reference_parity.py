@@ -137,3 +137,120 @@ def test_sieves_bitwise():
             mine = fn(stream, cuts_spec, np.array([0.0, np.inf]),
                       source=stream)
         np.testing.assert_allclose(ref, mine, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# systematic sweeps (round 3): semiring x mode x word matrix, and live
+# preparateur parity (fitted params extracted from the reference object
+# and fed to our kernels — proves TRANSFORM semantics for arbitrary
+# params, independent of RNG draw order)
+# ---------------------------------------------------------------------------
+
+MATRIX_WORDS = [
+    "[1]", "[22]", "[12]", "[1][2]", "[11][2]",
+    "[112][2]", "[1][1][2]", "[2][21][1]", "[(-1)][2]",
+]
+
+
+@pytest.mark.parametrize("mode", ["single", "extended"])
+@pytest.mark.parametrize("semiring", ["reals", "arctic", "bayesian"])
+@pytest.mark.parametrize("word", MATRIX_WORDS)
+def test_iss_matrix_parity(word, semiring, mode):
+    ref_sr = {
+        "reals": fruits.iss.semiring.Reals(),
+        "arctic": fruits.iss.semiring.Arctic(),
+        "bayesian": fruits.iss.semiring.Bayesian(),
+    }[semiring]
+    ref = fruits.ISS(
+        [fruits.words.SimpleWord(word)],
+        mode=(fruits.ISSMode.EXTENDED if mode == "extended"
+              else fruits.ISSMode.SINGLE),
+        semiring=ref_sr,
+    ).fit_transform(X)
+    depth = word.count("[")
+    ext = depth if mode == "extended" else 1
+    mine = iss(X, W(word).matrix, extended=ext, semiring=semiring)
+    np.testing.assert_allclose(np.swapaxes(ref, 0, 1), mine, rtol=1e-12)
+
+
+def _prep_cases():
+    """(name, reference preparateur factory, our-kernel closure) — the
+    closure receives the FITTED reference object so fitted params
+    (kernels, quantiles, strip layouts) come from the reference
+    itself."""
+    from fruits_spark.kernels import prep as P
+
+    k = np.array([0.3, -1.2, 0.45])
+    return [
+        ("inc", lambda: fruits.preparation.INC(), lambda o, x: P.inc(x)),
+        ("inc_nopad", lambda: fruits.preparation.INC(zero_padding=False),
+         lambda o, x: P.inc(x, zero_padding=False)),
+        ("std", lambda: fruits.preparation.STD(), lambda o, x: P.std(x)),
+        ("nrm", lambda: fruits.preparation.NRM(), lambda o, x: P.nrm(x)),
+        ("nrm_dim", lambda: fruits.preparation.NRM(scale_dim=True),
+         lambda o, x: P.nrm(x, scale_dim=True)),
+        ("mav2", lambda: fruits.preparation.MAV(2), lambda o, x: P.mav(x, 2)),
+        ("mav_frac", lambda: fruits.preparation.MAV(0.6),
+         lambda o, x: P.mav(x, int(0.6 * x.shape[-1]))),
+        ("lag", lambda: fruits.preparation.LAG(), lambda o, x: P.lag(x)),
+        ("cts", lambda: fruits.preparation.CTS(3), lambda o, x: P.cts(x, 3)),
+        ("spe", lambda: fruits.preparation.SPE(0.7),
+         lambda o, x: P.spe(x, 0.7)),
+        ("rpe", lambda: fruits.preparation.RPE(0.5),
+         lambda o, x: P.rpe(x, 0.5)),
+        ("rin", lambda: fruits.preparation.RIN(
+            kernel=np.tile(k[::-1], (2, 1))),
+         lambda o, x: P.rin(x, k)),
+        ("jld", lambda: fruits.preparation.JLD(5),
+         lambda o, x: P.jld(x, np.asarray(o._kernel).reshape(5, 2))),
+        ("ffn", lambda: fruits.preparation.FFN(3, d_hidden=6),
+         lambda o, x: P.ffn(x, o._weights1, o._biases, o._weights2,
+                            np.zeros(3))),
+        ("qtc", lambda: fruits.preparation.QTC(0.3),
+         lambda o, x: P.qtc(x, o._quantile)),
+        ("qtc_lower_bound", lambda: fruits.preparation.QTC(
+            0.7, lower=True, bound=9.0),
+         lambda o, x: P.qtc(x, o._quantile, lower=True, bound=9.0)),
+        ("dil", lambda: fruits.preparation.DIL(),
+         lambda o, x: P.dil(x, np.asarray(o._indices),
+                            np.asarray(o._lengths))),
+        ("pdd", lambda: fruits.preparation.PDD(),
+         lambda o, x: P.pdd(x, np.asarray(o._indices), o._width)),
+        ("win", lambda: fruits.preparation.WIN(0.2, 0.8),
+         lambda o, x: P.win_filter(x, 0.2, 0.8)),
+        ("dot", lambda: fruits.preparation.DOT(0.3),
+         lambda o, x: P.dot_filter(x, int(0.3 * x.shape[-1]))),
+    ]
+
+
+@pytest.mark.parametrize(
+    "name,mk_ref,mine_fn", _prep_cases(),
+    ids=[c[0] for c in _prep_cases()],
+)
+def test_prep_parity_live(name, mk_ref, mine_fn):
+    np.random.seed(1234)  # reference preps draw from the global RNG
+    Xp = RNG.random((4, 2, 19)) * 6 - 3
+    obj = mk_ref()
+    ref = obj.fit(Xp) or obj.transform(Xp)
+    mine = mine_fn(obj, Xp)
+    # rin/jld/ffn accumulate in a different order (einsum/tensordot vs
+    # the reference's sequential loop): 1e-12 relative; all others are
+    # bit-identical and the zero tolerance enforces it
+    if name in ("rin", "jld", "ffn"):
+        np.testing.assert_allclose(ref, mine, rtol=1e-12, atol=1e-12)
+    else:
+        np.testing.assert_array_equal(ref, mine)
+
+
+def test_rdw_parity_live_positive_base():
+    """RDW exponents on positive data (fractional powers of negatives
+    are NaN in both engines — positive input isolates the semantics)."""
+    from fruits_spark.kernels import prep as P
+
+    np.random.seed(77)
+    Xp = RNG.random((4, 3, 19)) + 0.1
+    o = fruits.preparation.RDW()
+    o.fit(Xp)
+    np.testing.assert_array_equal(
+        o.transform(Xp), P.rdw(Xp, np.asarray(o._weights))
+    )
