@@ -254,3 +254,55 @@ def test_rdw_parity_live_positive_base():
     np.testing.assert_array_equal(
         o.transform(Xp), P.rdw(Xp, np.asarray(o._weights))
     )
+
+
+def test_sieves_bitwise_extended():
+    """CUR / AVG / STD (reference CUR-bug semantics behind
+    faithful=True) / MPI / XPI with inc, plus PPV / CPV in constant,
+    fitted (threshold extracted from the reference object) and
+    segments forms."""
+    from fruits_spark.kernels import sieve as S
+
+    stream = RNG.random((6, 25)) * 10 - 5
+    inf = np.array([-np.inf, np.inf])
+    qz = np.array([0.0, np.inf])
+    cuts = S.resolve_cuts(stream, [-1, 0.5, 9], "L2")
+
+    for ref_obj, mine in [
+        (fruits.sieving.CUR(cut=[-1, 0.5, 9]),
+         lambda: S.sieve_cur(stream, cuts, inf)),
+        (fruits.sieving.AVG(cut=[-1, 0.5, 9]),
+         lambda: S.sieve_avg(stream, cuts, inf, faithful=True)),
+        (fruits.sieving.STD(cut=[-1, 0.5, 9]),
+         lambda: S.sieve_std(stream, cuts, inf, faithful=True)),
+        (fruits.sieving.MPI(cut=[-1, 10], inc=2),
+         lambda: S.sieve_mpi(stream, [-1, 10], qz, inc=2, source=stream)),
+        (fruits.sieving.XPI(cut=[-1, 10], inc=1),
+         lambda: S.sieve_xpi(stream, [-1, 10], qz, inc=1, source=stream)),
+        (fruits.sieving.PPV(quantile=[0.3, 2.0], constant=True),
+         lambda: S.sieve_ppv(stream, [0.3, 2.0])),
+        (fruits.sieving.CPV(quantile=[0.2, 0.6, 3.0], constant=True),
+         lambda: S.sieve_cpv(stream, [0.2, 0.6, 3.0])),
+    ]:
+        np.testing.assert_allclose(
+            ref_obj.fit_transform(stream), mine(), rtol=1e-12
+        )
+
+    # fitted (probability -> value at fit) and segments forms: feed the
+    # reference's own fitted threshold(s) to our kernel
+    for cls, kw in [
+        (fruits.sieving.PPV, dict(quantile=0.4, constant=False)),
+        (fruits.sieving.PPV,
+         dict(quantile=[0.2, 0.5, 0.9], constant=False, segments=True)),
+        (fruits.sieving.CPV,
+         dict(quantile=[0.2, 0.5, 0.9], constant=False, segments=True)),
+    ]:
+        o = cls(**kw)
+        o.fit(stream)
+        fn = S.sieve_ppv if cls is fruits.sieving.PPV else S.sieve_cpv
+        np.testing.assert_allclose(
+            o.transform(stream),
+            fn(stream, list(np.atleast_1d(o._q)),
+               segments=kw.get("segments", False)),
+            rtol=1e-12,
+        )
