@@ -803,9 +803,36 @@ def _rollup_select(rolled, fc):
 
 def q_rollup_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tier rollup: per (source, doc bucket) — doc count, token volume,
-    sum/max of END([11])."""
+    sum/max of END([11]).  Rows with bucket >= 100 are the REAL-TIME
+    continuous-aggregate view (rollup.realtime_tier) of the same tier
+    rebuilt from cells materialized only for buckets <= 3 plus an
+    on-the-fly rollup of the tail past each source's watermark — it
+    must reproduce the full rollup exactly (the oracle recomputes those
+    rows straight from the tokens), which gates the watermark join and
+    the null-watermark (no materialized cells) path."""
+    from fruits_spark.engine import rollup as RU
+    from fruits_spark.engine.executor import extract_features, feature_columns
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
     rolled, fc = _rolled(spark, sf_dir, salted=False)
-    return _rollup_select(rolled, fc)
+    out = _rollup_select(rolled, fc)
+
+    fplan = FruitPlan(
+        (Slice(iss=ISSSpec((W("[11]"),)), sieves=(Sieve("end"),)),)
+    )
+    toks = token_table(spark, sf_dir).withColumn("doc_idx", F.col("doc_id"))
+    feats = extract_features(toks, fplan, keep=("doc_id", "source", "n_tok"))
+    tier = RU.Tier("t1k", 1_000)
+    full = RU.rollup_tier(feats, tier, N_BUCKETS, fc,
+                          bucket_expr=_bucket_expr())
+    materialized = full.where(F.col("bucket") <= 3)
+    rt = RU.realtime_tier(materialized, feats, tier, N_BUCKETS, fc,
+                          bucket_expr=_bucket_expr())
+    rt_rows = _rollup_select(rt, fc).withColumn(
+        "bucket", (F.col("bucket") + 100).cast("int")
+    )
+    return out.unionByName(rt_rows)
 
 
 def q_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,6 +853,15 @@ perdoc AS (
 )
 SELECT source,
        CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(end_11) AS BIGINT) AS sum_end_11,
+       CAST(MAX(end_11) AS BIGINT) AS max_end_11
+FROM perdoc
+GROUP BY source, bucket
+UNION ALL
+SELECT source,
+       CAST(bucket + 100 AS INT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
        CAST(SUM(end_11) AS BIGINT) AS sum_end_11,
