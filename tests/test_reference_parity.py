@@ -306,3 +306,61 @@ def test_sieves_bitwise_extended():
                segments=kw.get("segments", False)),
             rtol=1e-12,
         )
+
+
+def test_fruit_end_to_end_parity():
+    """Capstone: whole reference Fruits (preps + ISS + sieves, multi
+    slice, reals AND arctic) vs our engine's block executor — feature
+    matrices match column-for-column in the reference's own order."""
+    from fruits_spark.engine.executor import compute_features_block
+    from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
+    from fruits_spark.words import of_weight
+
+    Xf = np.random.default_rng(123).random((7, 3, 30)) * 4 - 2
+
+    f1 = fruits.Fruit("par1")
+    f1.add(fruits.preparation.INC)
+    f1.add(fruits.ISS(
+        list(fruits.words.of_weight(2, dim=3)),
+        mode=fruits.ISSMode.EXTENDED,
+    ))
+    f1.add(fruits.sieving.END)
+    f1.add(fruits.sieving.MAX)
+    f1.fit(Xf)
+    plan1 = FruitPlan((
+        Slice(preps=(Prep("inc"),),
+              iss=ISSSpec(tuple(of_weight(2, 3)), mode="extended"),
+              sieves=(Sieve("end"), Sieve("max"))),
+    ))
+    np.testing.assert_allclose(
+        f1.transform(Xf), compute_features_block(Xf, plan1), rtol=1e-12
+    )
+
+    X2 = Xf[:, :2, :]
+    f2 = fruits.Fruit("par2")
+    f2.add(fruits.preparation.STD)
+    f2.add(fruits.ISS(
+        [fruits.words.SimpleWord("[11][2]"), fruits.words.SimpleWord("[1][2]")],
+        mode=fruits.ISSMode.EXTENDED,
+    ))
+    f2.add(fruits.sieving.END)
+    f2.add(fruits.sieving.PPV(quantile=0.0, constant=True))
+    f2.cut()
+    f2.add(fruits.preparation.INC)
+    f2.add(fruits.ISS([fruits.words.SimpleWord("[1][1]")],
+                      semiring=fruits.iss.semiring.Arctic()))
+    f2.add(fruits.sieving.END)
+    f2.add(fruits.sieving.MAX)
+    f2.fit(X2)
+    plan2 = FruitPlan((
+        Slice(preps=(Prep("std"),),
+              iss=ISSSpec((W("[11][2]"), W("[1][2]")), mode="extended"),
+              sieves=(Sieve("end"),
+                      Sieve("ppv", {"quantiles": [0.0], "constant": [True]}))),
+        Slice(preps=(Prep("inc"),),
+              iss=ISSSpec((W("[1][1]"),), semiring="arctic"),
+              sieves=(Sieve("end"), Sieve("max"))),
+    ))
+    np.testing.assert_allclose(
+        f2.transform(X2), compute_features_block(X2, plan2), rtol=1e-12
+    )
