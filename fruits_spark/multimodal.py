@@ -293,3 +293,116 @@ def decode_wav(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(dec, schema)
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows bitmap, 24-bit BI_RGB) — second REAL public format
+# ---------------------------------------------------------------------------
+
+#: deterministic pixel formula shared by synth + tests:
+#: channel value(doc, y, x, c) = ((doc_id + 1) * 29 + y * 11 + x * 5 + c) % 256
+#: with (y, x) in TOP-DOWN order (the BMP file stores rows bottom-up).
+
+
+def bmp_blob(pixels) -> bytes:
+    """Canonical BITMAPFILEHEADER + BITMAPINFOHEADER 24-bit BI_RGB file
+    for a top-down ``(h, w, 3)`` uint8 RGB array — rows written
+    bottom-up with 4-byte padding, channels as BGR, exactly as any
+    standard viewer expects."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+        + data
+    )
+
+
+def synth_bmp_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Standard 24-bit BMP files per document (width = doc_id % 5 + 2,
+    height = doc_id % 4 + 2 — widths include every row-padding case
+    since 3*w mod 4 cycles).  Pixels follow the integer formula above."""
+    import pandas as pd
+
+    schema = f"{id_col} long, blob binary"
+
+    def enc(batches):
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                w, h = d % 5 + 2, d % 4 + 2
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                px = ((d + 1) * 29 + y * 11 + x * 5 + c) % 256
+                blobs.append(bmp_blob(px.astype(np.uint8)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "blob": blobs}
+            )
+
+    return docs.select(id_col).mapInPandas(enc, schema)
+
+
+def decode_bmp(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Parse 24-bit BI_RGB BMP blobs: validate both headers, strip the
+    per-row padding, undo the bottom-up row order and BGR channel
+    order, and emit typed metadata plus the per-row luminance-sum
+    series (top-down) ready for the ISS kernels.  Rejects compressed,
+    non-24-bit or size-inconsistent containers."""
+    import pandas as pd
+    import struct
+
+    schema = (
+        f"{id_col} long, width int, height int, n_bytes int, "
+        "pixel_sum long, row_sums array<long>"
+    )
+
+    def dec(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                id_col: pdf[id_col].astype("int64"),
+                "width": [], "height": [], "n_bytes": [],
+                "pixel_sum": [], "row_sums": [],
+            }
+            for b in pdf["blob"]:
+                b = bytes(b)
+                if len(b) < 54 or b[:2] != b"BM":
+                    raise ValueError("not a BMP blob")
+                size, _, _, off = struct.unpack("<IHHI", b[2:14])
+                (bi, w, h, planes, bpp, comp, img_size) = struct.unpack(
+                    "<IiiHHII", b[14:38]
+                )
+                if bi != 40 or planes != 1 or bpp != 24 or comp != 0:
+                    raise ValueError("only uncompressed 24-bit supported")
+                if h <= 0 or w <= 0:
+                    raise ValueError("top-down or empty BMP unsupported")
+                row_size = (w * 3 + 3) & ~3
+                if size != len(b) or off + h * row_size != len(b):
+                    raise ValueError("BMP size mismatch")
+                raw = np.frombuffer(b, dtype=np.uint8, offset=off)
+                px = (
+                    raw.reshape(h, row_size)[::-1, : w * 3]
+                    .reshape(h, w, 3)[:, :, ::-1]
+                )
+                sums = px.sum(axis=(1, 2), dtype=np.int64)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_bytes"].append(len(b))
+                rows["pixel_sum"].append(int(sums.sum()))
+                rows["row_sums"].append(sums)
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(dec, schema)

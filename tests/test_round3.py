@@ -796,3 +796,64 @@ def test_route_range_multi_validates(spark, _three_level):
         RU.route_range_multi([(fine, 1), (mid, 4), (coarse, 6)], 0, 8, fc)
     with pytest.raises(ValueError):
         RU.route_range_multi([(fine, 1)], 8, 8, fc)
+
+
+# ---------------------------------------------------------------------------
+# BMP container (second public binary format through the decode seam)
+# ---------------------------------------------------------------------------
+
+def _parse_bmp_independent(b):
+    """Minimal independent BMP parse (different code path from
+    decode_bmp: struct-free, byte arithmetic only) used to cross-check
+    the production writer + reader pair."""
+    assert b[:2] == b"BM"
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    assert int.from_bytes(b[28:30], "little") == 24
+    row_size = (w * 3 + 3) & ~3
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    for yy in range(h):
+        row = b[off + yy * row_size: off + yy * row_size + w * 3]
+        arr = np.frombuffer(row, dtype=np.uint8).reshape(w, 3)[:, ::-1]
+        out[h - 1 - yy] = arr  # file rows are bottom-up
+    return out
+
+
+def test_bmp_blobs_roundtrip_and_formula(spark):
+    from fruits_spark.multimodal import decode_bmp, synth_bmp_blobs
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    blobs = synth_bmp_blobs(docs)
+    raw = {r["doc_id"]: bytes(r["blob"]) for r in blobs.collect()}
+    dec = {r["doc_id"]: r for r in decode_bmp(blobs).collect()}
+    assert len(dec) == 20
+    for d in range(20):
+        w, h = d % 5 + 2, d % 4 + 2  # widths cycle all 3w%4 padding cases
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        want = (((d + 1) * 29 + y * 11 + x * 5 + c) % 256).astype(np.uint8)
+        # independent byte-level parse agrees with the formula
+        np.testing.assert_array_equal(_parse_bmp_independent(raw[d]), want)
+        r = dec[d]
+        assert (r["width"], r["height"]) == (w, h)
+        row_size = (w * 3 + 3) & ~3
+        assert r["n_bytes"] == 54 + h * row_size
+        sums = want.sum(axis=(1, 2))
+        assert list(r["row_sums"]) == [int(s) for s in sums]
+        assert r["pixel_sum"] == int(sums.sum())
+
+
+def test_bmp_decode_rejects_corrupt(spark):
+    from fruits_spark.multimodal import bmp_blob, decode_bmp
+
+    px = np.zeros((3, 3, 3), dtype=np.uint8)
+    good = bmp_blob(px)
+    for bad in (
+        b"XX" + good[2:],            # wrong magic
+        good[:-1],                   # truncated
+        good[:28] + b"\x20" + good[29:],  # 32-bit bpp
+    ):
+        df = spark.createDataFrame([(0, bytearray(bad))],
+                                   "doc_id long, blob binary")
+        with pytest.raises(Exception):
+            decode_bmp(df).collect()
