@@ -859,6 +859,12 @@ SELECT source,
        CAST(MAX(end_11) AS BIGINT) AS max_end_11
 FROM perdoc
 GROUP BY source, bucket
+"""
+
+# rollup_tier additionally emits the realtime_tier reconstruction as
+# bucket+100 sentinel rows (see q_rollup_tier); rollup_salted keeps the
+# plain 40-row oracle above.
+SQL_ROLLUP_RT = SQL_ROLLUP + """
 UNION ALL
 SELECT source,
        CAST(bucket + 100 AS INT) AS bucket,
@@ -3396,7 +3402,7 @@ def oracle_sql() -> dict[str, str]:
         "prep_mav_dot": SQL_PREP_MAV_DOT,
         "prep_nrm_ppv": SQL_PREP_NRM_PPV,
         "iss_argmax": SQL_ISS_ARGMAX,
-        "rollup_tier": SQL_ROLLUP,
+        "rollup_tier": SQL_ROLLUP_RT,
         "rollup_salted": SQL_ROLLUP,
         "gapfill": SQL_GAPFILL,
         "events_rollup": SQL_EVENTS_ROLLUP,
