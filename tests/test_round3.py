@@ -857,3 +857,29 @@ def test_bmp_decode_rejects_corrupt(spark):
                                    "doc_id long, blob binary")
         with pytest.raises(Exception):
             decode_bmp(df).collect()
+
+
+def test_route_range_multi_random_ranges(spark, _three_level):
+    """Seeded sweep of arbitrary [lo, hi) alignments through the
+    3-level hierarchy — catches edge cases the parametrized shapes
+    miss (single-bucket ranges, coarse-boundary +-1, full-span)."""
+    import fruits_spark.engine.rollup as RU
+
+    fine, mid, coarse, fc = _three_level
+    rng = np.random.default_rng(2024)
+    cases = [(int(lo), int(lo) + int(w))
+             for lo, w in zip(rng.integers(0, 63, 12),
+                              rng.integers(1, 40, 12))]
+    cases += [(15, 16), (16, 17), (31, 33), (63, 64)]
+    for lo, hi in cases:
+        hi = min(hi, 64)
+        got = (
+            RU.route_range_multi(
+                [(fine, 1), (mid, 4), (coarse, 16)], lo, hi, fc
+            ).toPandas().sort_values("source").reset_index(drop=True)
+        )
+        want = (
+            _direct_range(fine, lo, hi, fc)
+            .toPandas().sort_values("source").reset_index(drop=True)
+        )
+        assert got.equals(want[got.columns]), (lo, hi)
