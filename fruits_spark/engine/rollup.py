@@ -379,6 +379,77 @@ def realtime_tier(
     return materialized.unionByName(fresh)
 
 
+def route_range_realtime(
+    fine: DataFrame,
+    coarse: DataFrame,
+    factor: int,
+    lo: int,
+    hi: int,
+    feature_cols: list[str],
+    features: DataFrame,
+    tier: Tier,
+    n_buckets: int,
+    bucket_expr=None,
+) -> DataFrame:
+    """FRESH range query: :func:`route_range` is only sound where the
+    coarse tier fully covers the interior — cells past the rollup
+    watermark don't have coarse counterparts yet, and routing through
+    them would silently drop the uncommitted region.  This composition
+    answers ``[lo, hi)`` exactly against live data:
+
+    * routed (coarse interior + fine edges) up to ``Wa`` — the
+      watermark-aligned boundary, where ``Wa = min over sources of the
+      max committed bucket + 1`` (every source is complete below it);
+    * committed fine cells in ``[Wa, hi)`` (sources ahead of the
+      global minimum);
+    * the unmaterialized tail past each source's own watermark, rolled
+      up on the fly from ``features`` (as in :func:`realtime_tier`)
+      and filtered to ``[lo, hi)``.
+
+    The three parts partition the range's documents exactly, so the
+    algebraic merge is exact.  One tiny driver-side collect fetches the
+    global watermark (an aggregate over cell metadata, never data)."""
+    if not 0 <= lo < hi:
+        raise ValueError(f"need 0 <= lo < hi, got [{lo}, {hi})")
+    hwm = source_watermarks(fine)
+    row = hwm.agg(F.min("hwm").alias("w")).collect()[0]
+    wa = (int(row.w) + 1) if row.w is not None else 0
+    parts = []
+    if lo < min(hi, wa):
+        parts.append(
+            route_range(fine, coarse, factor, lo, min(hi, wa), feature_cols)
+        )
+    if wa < hi:
+        ahead = _cell_payload(
+            fine.where(
+                (F.col("bucket") >= max(lo, wa)) & (F.col("bucket") < hi)
+            ),
+            feature_cols,
+        )
+        parts.append(_sql_agg(ahead, ["source"], reagg_exprs(feature_cols)))
+    b = bucket_expr if bucket_expr is not None else bucket_col(n_buckets)
+    tail_src = (
+        features.withColumn("bucket", b)
+        .join(F.broadcast(hwm), "source", "left")
+        .where(F.col("hwm").isNull() | (F.col("bucket") > F.col("hwm")))
+        .where((F.col("bucket") >= lo) & (F.col("bucket") < hi))
+        .drop("hwm")
+    )
+    fresh = rollup_tier(
+        tail_src, tier, n_buckets, feature_cols, bucket_expr=F.col("bucket")
+    )
+    parts.append(
+        _sql_agg(
+            _cell_payload(fresh, feature_cols),
+            ["source"], reagg_exprs(feature_cols),
+        )
+    )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return _sql_agg(merged, ["source"], reagg_exprs(feature_cols))
+
+
 def retention_filter(
     tier_df: DataFrame, tier: Tier, current_run: int, run_col: str = "run_id"
 ) -> DataFrame:

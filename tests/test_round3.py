@@ -883,3 +883,41 @@ def test_route_range_multi_random_ranges(spark, _three_level):
             .toPandas().sort_values("source").reset_index(drop=True)
         )
         assert got.equals(want[got.columns]), (lo, hi)
+
+
+@pytest.mark.parametrize("lo,hi", [(1, 15), (0, 16), (7, 12), (2, 5)])
+def test_route_range_realtime_matches_direct(spark, _tier_fixture, lo, hi):
+    """Fresh range query: routed-below-watermark + committed-ahead fine
+    cells + on-the-fly tail == direct aggregation over ALL data, with
+    per-source watermarks at different heights (5 and 9)."""
+    import fruits_spark.engine.rollup as RU
+
+    feats, _, _, fc = _tier_fixture
+    tier = RU.Tier("t1k", 1000)
+    pos_bucket = (
+        F.substring_index("doc_id", "-", -1).cast("long") % 16
+    ).cast("int")
+    full = RU.rollup_tier(feats, tier, 16, fc, bucket_expr=pos_bucket).cache()
+    cutoff = F.when(
+        F.pmod(F.xxhash64("source"), F.lit(2)) == 0, F.lit(9)
+    ).otherwise(F.lit(5))
+    materialized = full.where(F.col("bucket") <= cutoff).cache()
+    coarse = RU.reagg_tier(
+        materialized, fc, bucket_expr=F.floor(F.col("bucket") / 4).cast("int")
+    )
+    got = (
+        RU.route_range_realtime(
+            materialized, coarse, 4, lo, hi, fc,
+            feats, tier, 16, bucket_expr=pos_bucket,
+        ).toPandas().sort_values("source").reset_index(drop=True)
+    )
+    want = (
+        RU._sql_agg(
+            RU._cell_payload(
+                full.where((F.col("bucket") >= lo) & (F.col("bucket") < hi)),
+                fc,
+            ),
+            ["source"], RU.reagg_exprs(fc),
+        ).toPandas().sort_values("source").reset_index(drop=True)
+    )
+    assert got.equals(want[got.columns]), (lo, hi)
