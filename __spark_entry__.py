@@ -787,7 +787,7 @@ def _rolled(spark, sf_dir, salted: bool):
     tier = RU.Tier("t1k", 1_000)
     fn = RU.rollup_tier_salted if salted else RU.rollup_tier
     rolled = fn(feats, tier, N_BUCKETS, fc, bucket_expr=_bucket_expr())
-    return rolled, fc
+    return rolled, fc, feats
 
 
 def _rollup_select(rolled, fc):
@@ -811,24 +811,13 @@ def q_rollup_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows straight from the tokens), which gates the watermark join and
     the null-watermark (no materialized cells) path."""
     from fruits_spark.engine import rollup as RU
-    from fruits_spark.engine.executor import extract_features, feature_columns
-    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
-    from fruits_spark.words import W
 
-    rolled, fc = _rolled(spark, sf_dir, salted=False)
+    rolled, fc, feats = _rolled(spark, sf_dir, salted=False)
     out = _rollup_select(rolled, fc)
 
-    fplan = FruitPlan(
-        (Slice(iss=ISSSpec((W("[11]"),)), sieves=(Sieve("end"),)),)
-    )
-    toks = token_table(spark, sf_dir).withColumn("doc_idx", F.col("doc_id"))
-    feats = extract_features(toks, fplan, keep=("doc_id", "source", "n_tok"))
-    tier = RU.Tier("t1k", 1_000)
-    full = RU.rollup_tier(feats, tier, N_BUCKETS, fc,
-                          bucket_expr=_bucket_expr())
-    materialized = full.where(F.col("bucket") <= 3)
-    rt = RU.realtime_tier(materialized, feats, tier, N_BUCKETS, fc,
-                          bucket_expr=_bucket_expr())
+    materialized = rolled.where(F.col("bucket") <= 3)
+    rt = RU.realtime_tier(materialized, feats, RU.Tier("t1k", 1_000),
+                          N_BUCKETS, fc, bucket_expr=_bucket_expr())
     rt_rows = _rollup_select(rt, fc).withColumn(
         "bucket", (F.col("bucket") + 100).cast("int")
     )
@@ -837,7 +826,7 @@ def q_rollup_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase (salted) rollup — must equal q_rollup_tier."""
-    rolled, fc = _rolled(spark, sf_dir, salted=True)
+    rolled, fc, _ = _rolled(spark, sf_dir, salted=True)
     return _rollup_select(rolled, fc)
 
 

@@ -336,9 +336,21 @@ def route_range_multi(
 
 
 def source_watermarks(cells: DataFrame) -> DataFrame:
-    """Per-source high-water mark (max materialized bucket) — one row
-    per source, always broadcastable no matter how many cells exist."""
-    return cells.groupBy("source").agg(F.max("bucket").alias("hwm"))
+    """Per-source high-water mark (max materialized bucket with actual
+    data) — one row per source, always broadcastable no matter how many
+    cells exist.  Gap-filled spine cells (``n_docs = 0``, which the
+    batch job commits for EVERY bucket) must not advance the watermark:
+    a spine-saturated hwm would make the real-time tail permanently
+    empty and silently drop new documents.  With a spine-committed
+    tier, a bucket past the data watermark can therefore appear twice
+    in :func:`realtime_tier`'s output — its committed zero row plus its
+    fresh row — which stays aggregate-exact because the zero row is
+    additive identity for every payload column."""
+    return (
+        cells.where(F.col("n_docs") > 0)
+        .groupBy("source")
+        .agg(F.max("bucket").alias("hwm"))
+    )
 
 
 def realtime_tier(

@@ -44,8 +44,22 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("route-query").getOrCreate()
     t0 = time.time()
-    fine = spark.read.parquet(f"{args.tiers}/tier=t1k")
-    coarse = spark.read.parquet(f"{args.tiers}/tier=t100k")
+
+    def read_tier(name):
+        df = spark.read.parquet(f"{args.tiers}/tier={name}")
+        # partition-type inference can parse date-looking run ids
+        # (run=2026-08-16) into DateType — keep them strings so the
+        # run-set compare and JSON output never choke
+        df = df.withColumn("run", F.col("run").cast("string"))
+        # commit_cells appends DATA before MANIFEST rows: a crash
+        # between the two followed by --resume re-appends the same
+        # cells (data is at-least-once; only the manifest is
+        # exactly-once).  Recomputation is deterministic, so the
+        # duplicates are byte-identical — dedupe on the cell key
+        return df.dropDuplicates(["run", "source", "bucket"])
+
+    fine = read_tier("t1k")
+    coarse = read_tier("t100k")
 
     runs_f = {r.run for r in fine.select("run").distinct().collect()}
     runs_c = {r.run for r in coarse.select("run").distinct().collect()}
@@ -53,6 +67,20 @@ def main() -> None:
         print(json.dumps({"error": "tier run sets differ",
                           "t1k_runs": sorted(runs_f),
                           "t100k_runs": sorted(runs_c)}))
+        spark.stop()
+        sys.exit(2)
+
+    # sanity-check --factor against the tiers themselves: coarse is the
+    # reagg of fine with bucket // factor, so their max buckets must
+    # agree — a wrong factor would double-count interior against edges
+    # and silently drop part of the range
+    max_f = fine.agg(F.max("bucket").alias("m")).collect()[0].m
+    max_c = coarse.agg(F.max("bucket").alias("m")).collect()[0].m
+    if max_f is None or max_c is None or max_f // args.factor != max_c:
+        print(json.dumps({"error": "factor mismatch with tier layout",
+                          "factor": args.factor,
+                          "max_fine_bucket": max_f,
+                          "max_coarse_bucket": max_c}))
         spark.stop()
         sys.exit(2)
 

@@ -141,9 +141,12 @@ def main() -> None:
         dec,
     ))
 
+    import atexit
+    import shutil
     import tempfile
 
     cells_dir = tempfile.mkdtemp(prefix="plans_cells_")
+    atexit.register(shutil.rmtree, cells_dir, ignore_errors=True)
     fine_m = RU.rollup_tier(
         feats, RU.Tier("t1k", 1000), 64, fc,
         bucket_expr=(F.col("doc_id") % 64).cast("int"),
