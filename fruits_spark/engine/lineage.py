@@ -98,14 +98,24 @@ def commit_cells(
     n_points_per_doc: int,
 ) -> int:
     """Write pending cell data, then commit their manifest rows.
-    Returns the number of cells committed."""
+    Returns the number of cells committed.
+
+    Both appends take SHARED advisory locks (the data dir's compaction
+    lock, the manifest's rewrite lock): concurrent commits proceed
+    freely, but a commit can never interleave with an exclusive rewriter
+    (:func:`fruits_spark.engine.compact.compact_dir`,
+    :func:`compact_manifest` / :func:`retire_runs`) whose
+    snapshot-then-swap would silently drop the freshly appended files."""
+    from .compact import dir_lock
+
     data_path = os.path.join(base, f"tier={tier}", f"run={run_id}")
     cells = cells.cache()
     n = cells.count()
     if n == 0:
         cells.unpersist()
         return 0
-    cells.write.mode("append").parquet(data_path)
+    with dir_lock(data_path, shared=True):
+        cells.write.mode("append").parquet(data_path)
     manifest = cells.select(
         F.lit(run_id).alias("run_id"),
         F.lit(tier).alias("tier"),
@@ -115,7 +125,8 @@ def commit_cells(
         F.col("sum_tok").cast("long").alias("n_tokens"),
         (F.col("sum_tok").cast("long") * n_points_per_doc).alias("n_points"),
     )
-    manifest.write.mode("append").parquet(manifest_path(base))
+    with manifest_write_lock(base, shared=True):
+        manifest.write.mode("append").parquet(manifest_path(base))
     cells.unpersist()
     return n
 
@@ -158,11 +169,13 @@ def retire_runs(
         _retire_locked(spark, base, tiers, run_ids)
 
 
-def manifest_write_lock(base: str):
-    """Advisory exclusive lock serializing manifest REWRITERS
-    (:func:`retire_runs`, :func:`compact_manifest`) on one base — they
-    share the ``_retiring``/``_old`` staging names.  Append-only commit
-    writers and readers never take it."""
+def manifest_write_lock(base: str, shared: bool = False):
+    """Advisory lock serializing manifest writers on one base.
+    REWRITERS (:func:`retire_runs`, :func:`compact_manifest`) take it
+    EXCLUSIVE — they share the ``_retiring``/``_old`` staging names and
+    their read-then-swap must not interleave with appends.  Append-only
+    commit writers (:func:`commit_cells`) take it SHARED so concurrent
+    commits still proceed freely.  Readers never take it."""
     from contextlib import contextmanager
 
     @contextmanager
@@ -174,7 +187,7 @@ def manifest_write_lock(base: str):
             os.path.join(base, "_retire.lock"), os.O_CREAT | os.O_RDWR
         )
         try:
-            fcntl.flock(fd, fcntl.LOCK_EX)
+            fcntl.flock(fd, fcntl.LOCK_SH if shared else fcntl.LOCK_EX)
             yield
         finally:
             fcntl.flock(fd, fcntl.LOCK_UN)
