@@ -1432,18 +1432,22 @@ FROM s JOIN best ON s.doc_id = best.doc_id
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary columns, end to end, over TWO container
+    """Multimodal binary columns, end to end, over THREE container
     formats: (a) deterministic FRB1 frame containers (synthetic video
     stand-in; batched decode — one frombuffer + one add.reduceat per
-    Arrow batch) and (b) REAL RIFF/WAVE PCM16 files (public audio
-    format, byte-compatible with any WAV reader).  Each decode emits a
+    Arrow batch), (b) REAL RIFF/WAVE PCM16 files (public audio format,
+    byte-compatible with any WAV reader), and (c) REAL 24-bit BI_RGB
+    BMP files (public image format; bottom-up rows, BGR channels and
+    4-byte row padding all undone by the decode).  Each decode emits a
     typed-metadata row + an integer series (per-frame pixel sums /
-    int16 samples) fed through the same ISS engine ([1] and [1][1]
-    ENDs); results are unioned with a ``fmt`` tag.  The oracle
-    recomputes both from their integer formulas, so any byte error in
-    either container, decode, or slicing fails the value match."""
+    int16 samples / per-row luminance sums) fed through the same ISS
+    engine ([1] and [1][1] ENDs); results are unioned with a ``fmt``
+    tag.  The oracle recomputes all three from their integer formulas,
+    so any byte error in any container, decode, or slicing fails the
+    value match."""
     from fruits_spark.multimodal import (
-        decode_frames, decode_wav, synth_frame_blobs, synth_wav_blobs,
+        decode_bmp, decode_frames, decode_wav, synth_bmp_blobs,
+        synth_frame_blobs, synth_wav_blobs,
     )
     from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
     from fruits_spark.words import W
@@ -1488,7 +1492,26 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(fc[0]).cast("long").alias("frame_end_1"),
         F.col(fc[1]).cast("long").alias("frame_end_1_1"),
     )
-    return frb.unionByName(wav)
+
+    # third container, second REAL format: 24-bit BI_RGB BMP — per-row
+    # luminance-sum series (top-down, padding stripped, BGR undone)
+    bdec = decode_bmp(synth_bmp_blobs(docs)).withColumn(
+        "n_tok", F.col("height")
+    )
+    bmp = extract_features(
+        bdec, fplan, tokens_col="row_sums",
+        keep=("doc_id", "width", "height", "n_bytes", "pixel_sum"),
+    ).select(
+        F.lit("bmp").alias("fmt"),
+        "doc_id",
+        F.col("height").cast("int").alias("n_units"),
+        F.col("width").cast("int").alias("meta1"),
+        F.col("pixel_sum").cast("int").alias("meta2"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col(fc[0]).cast("long").alias("frame_end_1"),
+        F.col(fc[1]).cast("long").alias("frame_end_1_1"),
+    )
+    return frb.unionByName(wav).unionByName(bmp)
 
 
 SQL_MULTIMODAL_FRAMES = """
@@ -1550,6 +1573,39 @@ SELECT 'wav' AS fmt,
        CAST(SUM(v * (run1 - v)) AS BIGINT) AS frame_end_1_1
 FROM wruns
 GROUP BY doc_id, ns
+UNION ALL
+SELECT 'bmp' AS fmt,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(h AS INT) AS n_units,
+       CAST(w AS INT) AS meta1,
+       CAST(SUM(rsum) AS INT) AS meta2,
+       CAST(54 + h * (((w * 3 + 3) // 4) * 4) AS INT) AS n_bytes,
+       CAST(SUM(rsum) AS BIGINT) AS frame_end_1,
+       CAST(SUM(rsum * (brun - rsum)) AS BIGINT) AS frame_end_1_1
+FROM (
+    SELECT doc_id, w, h, y, rsum,
+           SUM(rsum) OVER (PARTITION BY doc_id ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS brun
+    FROM (
+        SELECT doc_id, w, h, y,
+               SUM(((doc_id + 1) * 29 + y * 11 + x * 5 + c) % 256) AS rsum
+        FROM (
+            SELECT doc_id, w, h, y, x, unnest(range(0, 3)) AS c
+            FROM (
+                SELECT doc_id, w, h, y, unnest(range(0, w)) AS x
+                FROM (
+                    SELECT doc_id,
+                           doc_id % 5 + 2 AS w,
+                           doc_id % 4 + 2 AS h,
+                           unnest(range(0, doc_id % 4 + 2)) AS y
+                    FROM documents
+                )
+            )
+        )
+        GROUP BY doc_id, w, h, y
+    )
+)
+GROUP BY doc_id, w, h
 """
 
 
@@ -3243,6 +3299,36 @@ def q_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"max_{fc[0]}").cast("long").alias("max_end_1"),
         )
         out = out.unionByName(routed)
+    # FRESH range query (rollup.route_range_realtime): the same kind of
+    # range answered against a PARTIALLY MATERIALIZED tier — cells
+    # committed only up to a per-source watermark (deliberately different
+    # per source: 28 + last-source-digit % 7), the region past the
+    # global watermark served from committed-ahead cells, and the tail
+    # past each source's own watermark rolled up on the fly from raw
+    # features.  The oracle is the plain direct recompute over the
+    # range, so any document dropped or double-counted across the
+    # routed / committed-ahead / live-tail split fails the hash.
+    # Sentinels: -3 straddles the watermarks (all three parts live);
+    # -4 sits entirely past the global watermark (no routed part);
+    # -5 sits entirely below every watermark (pure routed, empty tail).
+    wm = 28 + F.ascii(F.substring(F.col("source"), -1, 1)) % 7
+    mat = fine.where(F.col("bucket") <= wm)
+    mat_coarse = RU.reagg_tier(
+        mat, fc, bucket_expr=F.floor(F.col("bucket") / 8).cast("int")
+    )
+    for sentinel, (lo, hi) in ((-3, (5, 53)), (-4, (40, 60)), (-5, (2, 20))):
+        freshr = RU.route_range_realtime(
+            mat, mat_coarse, 8, lo, hi, fc, feats, RU.Tier("t1k", 1000),
+            64, bucket_expr=(F.col("doc_id") % 64).cast("int"),
+        ).select(
+            "source",
+            F.lit(sentinel).cast("int").alias("bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_tok").cast("long").alias("sum_tok"),
+            F.col(f"sum_{fc[0]}").cast("long").alias("sum_end_1"),
+            F.col(f"max_{fc[0]}").cast("long").alias("max_end_1"),
+        )
+        out = out.unionByName(freshr)
     return out
 
 
@@ -3278,6 +3364,30 @@ SELECT source, CAST(-2 AS INT) AS bucket,
        CAST(SUM(e1) AS BIGINT) AS sum_end_1,
        CAST(MAX(e1) AS BIGINT) AS max_end_1
 FROM per_doc WHERE fb >= 17 AND fb < 21
+GROUP BY source
+UNION ALL
+SELECT source, CAST(-3 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(e1) AS BIGINT) AS sum_end_1,
+       CAST(MAX(e1) AS BIGINT) AS max_end_1
+FROM per_doc WHERE fb >= 5 AND fb < 53
+GROUP BY source
+UNION ALL
+SELECT source, CAST(-4 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(e1) AS BIGINT) AS sum_end_1,
+       CAST(MAX(e1) AS BIGINT) AS max_end_1
+FROM per_doc WHERE fb >= 40 AND fb < 60
+GROUP BY source
+UNION ALL
+SELECT source, CAST(-5 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(e1) AS BIGINT) AS sum_end_1,
+       CAST(MAX(e1) AS BIGINT) AS max_end_1
+FROM per_doc WHERE fb >= 2 AND fb < 20
 GROUP BY source
 """
 

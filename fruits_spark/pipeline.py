@@ -1168,8 +1168,16 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 F.lit(lang).alias("lang"),
             )
         )
+    # ground-truth passthrough only when the corpus HAS one (the oracle's
+    # accuracy check does; a real user's corpus usually doesn't — same
+    # optional-column handling as tokenize's source_col=None)
+    label = (
+        [F.col("lang").alias("labelled_lang")]
+        if "lang" in docs.columns
+        else []
+    )
     scored = docs.select(
-        "doc_id", F.col("lang").alias("labelled_lang"),
+        "doc_id", *label,
         F.size(_words(text_col)).alias("_nw"),
         F.length(F.col(text_col)).alias("_nc"),
         _script_count(text_col, SCRIPT_RANGES["han"]).alias("_han"),

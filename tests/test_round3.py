@@ -256,6 +256,26 @@ def test_lang_id_script_detector(spark):
                    5: "ko", 6: "ar"}
 
 
+def test_lang_id_unlabelled_corpus(spark):
+    """A real user's corpus has no ground-truth `lang` column: lang_id
+    must run without it (and then omit labelled_lang) with identical
+    predictions."""
+    from fruits_spark.pipeline import lang_id
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and the dog is here"),
+            (1, "привет мир это тест на русском языке"),
+            (2, "これはテストです"),
+        ],
+        "doc_id long, text string",
+    )
+    out = lang_id(docs)
+    assert "labelled_lang" not in out.columns
+    got = {r["doc_id"]: r["pred_lang"] for r in out.collect()}
+    assert got == {0: "en", 1: "ru", 2: "ja"}
+
+
 def test_bpe_train_and_tokenize(spark):
     """Classic BPE on a tiny corpus: trained merges are deterministic,
     frequent pairs merge first, and the distributed encoder round-trips
