@@ -1,8 +1,11 @@
 """Benchmark harness: headline ISS rollup throughput + per-query timings.
 
-Prints ONE JSON line (``value`` = sum of per-stage minima over
-``SPARK_GRAFT_PIPE_REPS`` warmed repeats — see the protocol note at the
-rep loop; ``wall_min_sec`` keeps the best single whole-run wall):
+Prints ONE JSON line (``value`` = best single whole-run wall over
+``SPARK_GRAFT_PIPE_REPS`` warmed repeats — a time one real run actually
+achieved; ``stagemin_sec`` additionally reports the sum of per-stage
+minima, a composite lower bound that converges faster on a noisy host
+but which no single run achieved — round-3 briefly used it as the
+headline, reverted per review):
   {"metric": "iss_rollup_pipeline", "value": <headline sec>, "unit": "sec",
    "queries": {...per-stage/per-query sec...}, "sf": <sf>,
    "tokens_per_sec": ..., "points_per_sec": ...,
@@ -239,17 +242,16 @@ def main() -> None:
     total_tokens = toks.selectExpr("sum(n_tok) s").collect()[0]["s"]
     warmup(spark, toks, fplan)
 
-    # Headline protocol (round 3): sum of PER-STAGE minima over the
-    # repeats, not the single best whole-run wall.  The shared host's
-    # neighbor steal swings individual stages 3-5x run-to-run (BENCH.md
-    # documents the variance); a whole-run min needs one fully quiet
-    # ~4 s window to converge, while per-stage minima only need each
-    # ~0.4-1.5 s stage to land in a quiet window ONCE across all reps —
-    # the same steady-state estimate with far better tail behavior
-    # (round-2's driver artifact read 20% above the builder's own
-    # measurement purely from this).  6 reps (was 4): the repeats are
-    # cheap next to session startup and directly buy min quality.
-    pipe_reps = int(os.environ.get("SPARK_GRAFT_PIPE_REPS", "6"))
+    # Headline protocol (round 4): ``value`` is the best single
+    # whole-run wall — a number one real run achieved (round 3 reported
+    # the sum of per-stage minima under the same metric name; review
+    # flagged that as a composite no run achieved, so it moved to the
+    # secondary ``stagemin_sec`` field).  The shared host's neighbor
+    # steal swings individual stages 3-5x run-to-run (BENCH.md), so the
+    # wall min needs one quiet ~4 s window — 10 reps (~1 min total)
+    # buys enough draws; the per-stage minima still converge faster and
+    # stay reported for diagnosis.
+    pipe_reps = int(os.environ.get("SPARK_GRAFT_PIPE_REPS", "10"))
     wall_min = float("inf")
     stage_times: dict = {}
     for _ in range(pipe_reps):
@@ -260,9 +262,10 @@ def main() -> None:
             k: min(v, stage_times.get(k, float("inf")))
             for k, v in st.items()
         }
-    headline = sum(
+    stagemin = sum(
         v for k, v in stage_times.items() if not k.startswith("_")
     )
+    headline = wall_min
 
     queries = {k: round(v, 3) for k, v in stage_times.items()
                if not k.startswith("_")}
@@ -273,6 +276,7 @@ def main() -> None:
         "metric": "iss_rollup_pipeline",
         "value": round(headline, 3),
         "wall_min_sec": round(wall_min, 3),
+        "stagemin_sec": round(stagemin, 3),
         "unit": "sec",
         "queries": queries,
         "sf": sf,
@@ -324,30 +328,50 @@ def main() -> None:
         # one load window, so its ratio is unbiased, while min-of-each-
         # config decouples the windows again (observed 0.58-1.02 from
         # per-config mins on identical code)
-        pairs = []
-        t_small = float("inf")
-        t_big = float("inf")
-        # adaptive reps: when the pair ratios disagree badly (max/min
-        # spread > 1.3 — neighbor steal hit one window harder than its
-        # partner), buy up to 2 extra pairs so the median sits on more
-        # samples; quiet windows pay nothing
-        max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "2"))
+        pairs = []  # (ratio, ts, tb)
+        # adaptive reps (round 4): the round-3 artifact's 5 ratios
+        # spanned 2.88-3.86 — a noise-dominated median.  Keep buying
+        # pairs until the interquartile spread of the ratios is tight
+        # (<= 0.15) or the pair budget is exhausted; quiet hosts pay
+        # the base reps only.
+        max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "5"))
+        iqr_target = float(os.environ.get("SPARK_GRAFT_SCALE_IQR", "0.15"))
+
+        def _iqr(rs: list) -> float:
+            rs = sorted(rs)
+            n = len(rs)
+            return rs[(3 * n) // 4] - rs[n // 4]
+
         while True:
             ts = run_at(n_small, scale_docs, scale_path)
             tb = run_at(n_big, scale_docs, scale_path)
-            pairs.append(ts / tb)
-            t_small = min(t_small, ts)
-            t_big = min(t_big, tb)
+            pairs.append((ts / tb, ts, tb))
             if len(pairs) >= reps + max_extra:
                 break
-            if len(pairs) >= reps and max(pairs) / min(pairs) <= 1.3:
+            if (
+                len(pairs) >= reps
+                and _iqr([r for r, _, _ in pairs]) <= iqr_target
+            ):
                 break
-        pairs.sort()
-        mid = len(pairs) // 2
+        t_small = min(ts for _, ts, _ in pairs)
+        t_big = min(tb for _, _, tb in pairs)
+        # QUIET-PAIR selection: a pair whose small AND big runs both sit
+        # within 25% of that config's best-observed time ran in windows
+        # the external load demonstrably left alone; pairs slower than
+        # that measured the neighbors, not the engine.  The filter is
+        # symmetric (either config being hit disqualifies the pair) and
+        # falls back to all pairs when fewer than 2 survive.
+        quiet = [
+            r for r, ts, tb in pairs
+            if ts <= 1.25 * t_small and tb <= 1.25 * t_big
+        ]
+        sample = quiet if len(quiet) >= 2 else [r for r, _, _ in pairs]
+        sample.sort()
+        mid = len(sample) // 2
         eff = (
-            pairs[mid]
-            if len(pairs) % 2
-            else (pairs[mid - 1] + pairs[mid]) / 2
+            sample[mid]
+            if len(sample) % 2
+            else (sample[mid - 1] + sample[mid]) / 2
         ) / 4.0
         # measured token sum of the ACTUAL probe dataset (one columnar
         # scan of the already-materialized parquet) — a linear
@@ -369,7 +393,8 @@ def main() -> None:
             f"tokens_per_sec_{n_big}": round(scale_tokens / t_big),
             "n_small": n_small,
             "n_big": n_big,
-            "pair_ratios": [round(r, 2) for r in pairs],
+            "pair_ratios": [round(r, 2) for r, _, _ in pairs],
+            "n_quiet_pairs": len(quiet),
             "efficiency": round(eff, 3),
         }
 

@@ -171,6 +171,18 @@ class Seg:
     def sum(self, x: np.ndarray) -> np.ndarray:
         return self._reduceat(np.add, x, 0.0)
 
+    def count(self, mask: np.ndarray) -> np.ndarray:
+        """Per-segment True count of a BOOL array, accumulated directly
+        in int64 by reduceat — no 8-byte float materialization of the
+        mask (one full write+read pass saved per counted predicate;
+        exact: counts are integers, bit-identical to summing 1.0s)."""
+        out = np.zeros(self.n, dtype=np.float64)
+        if self.total == 0 or not self.nonempty.any():
+            return out
+        starts = self.offsets[:-1][self.nonempty]
+        out[self.nonempty] = np.add.reduceat(mask, starts, dtype=np.int64)
+        return out
+
     def max(self, x: np.ndarray) -> np.ndarray:
         return self._reduceat(np.maximum, x, 0.0)
 
@@ -218,13 +230,17 @@ def std_flat(seg: Seg, x: np.ndarray, var: bool = True,
              eps: float = 1e-5) -> np.ndarray:
     n = np.maximum(seg.lengths, 1).astype(np.float64)
     mu = seg.sum(x) / n
-    mu_b = seg.broadcast(mu)
+    # materialize (x - mu_b) ONCE and divide it in place: the naive
+    # form recomputes the subtraction for the output (a full extra
+    # read-read-write pass); same ops on the same inputs, bit-identical
+    t = x - seg.broadcast(mu)
     if var:
-        sd = np.sqrt(seg.sum((x - mu_b) ** 2) / n)
+        sd = np.sqrt(seg.sum(t * t) / n)
     else:
         sd = np.zeros(seg.n)
         sd += 1.0 - eps  # so (sd + eps) == 1
-    return (x - mu_b) / seg.broadcast(sd + eps)
+    t /= seg.broadcast(sd + eps)
+    return t
 
 
 def nrm_flat(seg: Seg, x: np.ndarray) -> np.ndarray:
@@ -661,7 +677,7 @@ def sieve_npi_flat(seg, stream, cuts, quantiles, inc=1):
     def red(m):
         if m is None:
             return seg.lengths.astype(np.float64)
-        return seg.sum(m.astype(np.float64))
+        return seg.count(m)
     return _masked_feature(seg, arr, cuts, quantiles, red)
 
 
@@ -672,7 +688,7 @@ def sieve_mpi_flat(seg, stream, cuts, quantiles, inc=1):
             cnt = seg.lengths.astype(np.float64)
             s = seg.sum(arr)
         else:
-            cnt = seg.sum(m.astype(np.float64))
+            cnt = seg.count(m)
             s = seg.sum(np.where(m, arr, 0.0))
         return np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
     return _masked_feature(seg, arr, cuts, quantiles, red)
@@ -691,7 +707,7 @@ def sieve_xpi_flat(seg, stream, cuts, quantiles, inc=1):
                 cnt = seg.lengths.astype(np.float64)
                 s = seg.sum(rel.astype(np.float64))
             else:
-                cnt = seg.sum(m.astype(np.float64))
+                cnt = seg.count(m)
                 s = seg.sum(np.where(m, rel, 0).astype(np.float64))
             out[:, j * nb + k] = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
     return out
@@ -724,11 +740,11 @@ def sieve_ppv_flat(seg, stream, quantiles, segments=False):
         out = np.zeros((seg.n, len(qs) - 1))
         for j in range(1, len(qs)):
             m = (qs[j - 1] <= stream) & (stream < qs[j])
-            out[:, j - 1] = seg.sum(m.astype(np.float64)) / n
+            out[:, j - 1] = seg.count(m) / n
         return out
     out = np.zeros((seg.n, len(qs)))
     for j, q in enumerate(qs):
-        out[:, j] = seg.sum((stream >= q).astype(np.float64)) / n
+        out[:, j] = seg.count(stream >= q) / n
     return out
 
 
@@ -736,9 +752,20 @@ def sieve_cpv_flat(seg, stream, quantiles, segments=False):
     n_even = (seg.lengths + (seg.lengths % 2)).astype(np.float64)
     n_even = np.maximum(n_even, 1)
     qs = list(quantiles)
+
     def rising(mask):
-        d = inc_flat(seg, mask.astype(np.float64))
-        return seg.sum((d == 1).astype(np.float64))
+        # rising edge = True preceded by False, never at a segment
+        # start (the float-increment form this replaces zeroed segment
+        # heads); all-bool arithmetic — 1-byte traffic instead of the
+        # former 8-byte float increment chain, identical counts
+        if mask.size == 0:
+            return np.zeros(seg.n, dtype=np.float64)
+        r = np.empty_like(mask)
+        r[1:] = mask[1:] & ~mask[:-1]
+        r[0] = False
+        r[seg.offsets[:-1][seg.nonempty]] = False
+        return seg.count(r)
+
     if segments:
         out = np.zeros((seg.n, len(qs) - 1))
         for j in range(1, len(qs)):

@@ -150,6 +150,7 @@ def decontaminate(
     benchmark: DataFrame,
     text_col: str = "text",
     n: int = 5,
+    mask_digits: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents that share any
     word n-gram with an evaluation/benchmark corpus — the standard
@@ -166,11 +167,26 @@ def decontaminate(
     Returns one row per training doc:
     (doc_id, n_contaminated_ngrams, contaminated) where
     ``n_contaminated_ngrams`` counts DISTINCT overlapping n-grams and
-    docs with fewer than ``n`` words are trivially clean."""
+    docs with fewer than ``n`` words are trivially clean.
+
+    Normalization: case folds via the shared shingle path (lower());
+    ``mask_digits=True`` additionally collapses every digit run to
+    ``0`` on BOTH sides before shingling (the common eval-scrub
+    variant — numeric paraphrases like 'answer is 42' vs 'answer is 7'
+    still collide).  Pure JVM regexp projection, no extra pass."""
+    if mask_digits:
+        def _mask(df):
+            return df.withColumn(
+                text_col, F.regexp_replace(F.col(text_col), "[0-9]+", "0")
+            )
+
+        docs_sh_in, benchmark = _mask(docs), _mask(benchmark)
+    else:
+        docs_sh_in = docs
     bench_sh = (
         shingle_df(benchmark, text_col, n).select("shingle").distinct()
     )
-    sh = shingle_df(docs, text_col, n)
+    sh = shingle_df(docs_sh_in, text_col, n)
     hits = (
         sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id")
@@ -545,6 +561,7 @@ def train_ivf_centroids(
     n_centroids: int,
     iters: int = 2,
     id_col: str = "vec_id",
+    sample_mod: int | None = None,
 ):
     """Deterministic distributed Lloyd k-means for the IVF coarse
     quantizer (the trained replacement for the first-N seed that round-2
@@ -562,9 +579,24 @@ def train_ivf_centroids(
     integer norm; ties break to the smaller centroid id).  Empty
     clusters keep their previous centroid.  Per-iteration driver
     materialization is ``n_centroids`` rows — bounded like the fit
-    sample.  Returns ``[(cid, cvec:list[int], cnorm:int), ...]``."""
+    sample.  Returns ``[(cid, cvec:list[int], cnorm:int), ...]``.
+
+    ``sample_mod``: when set, each Lloyd iteration trains on the
+    deterministic hash-gated 1/sample_mod subset
+    (``xxhash64(id, 7) % sample_mod == 0`` — unbiased w.r.t. table
+    position, unlike a first-N window) instead of the full corpus.  At
+    10^9 vectors two full assignment passes dominate the build; k-means
+    on a 1-10% sample converges to centroids of near-identical recall
+    (quantizer quality depends on the density field, not every point —
+    measured on the 100k probe, BENCH.md).  Full-corpus (None) stays
+    the default and the oracle-replayed path."""
     cents = ivf_centroid_rows(emb, n_centroids, id_col)
     q = quantize_embeddings(emb)
+    if sample_mod is not None and sample_mod > 1:
+        q = q.where(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(7)),
+                   F.lit(sample_mod)) == 0
+        )
     d = len(cents[0][1])
     for _ in range(iters):
         # same literal-vs-numpy dispatch as the final assignment
@@ -726,6 +758,7 @@ def ivf_topk(
     shards: int | None = None,
     train_iters: int = 2,
     query_offset: int = 0,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its best centroid
     (a pure projection — centroids are inlined literals, so no join or
@@ -737,14 +770,20 @@ def ivf_topk(
     nprobe); both engines implement the identical pruning, so results
     are value-exact, not just statistically close.  ``train_iters``
     Lloyd iterations (:func:`train_ivf_centroids`) refine the coarse
-    quantizer before assignment; 0 falls back to the first-N seed."""
+    quantizer before assignment; 0 falls back to the first-N seed;
+    ``train_sample_mod`` trains on the hash-gated 1/mod subset (the
+    cheap path at 10^9 vectors — recall within noise of full-train on
+    the 100k probe, BENCH.md)."""
     if shards is None:
         # expected survivors per query ~ N * nprobe / n_centroids
         shards = adaptive_topk_shards(
             emb.count() * nprobe // max(1, n_centroids)
         )
     if train_iters > 0:
-        cents = train_ivf_centroids(emb, n_centroids, train_iters, id_col)
+        cents = train_ivf_centroids(
+            emb, n_centroids, train_iters, id_col,
+            sample_mod=train_sample_mod,
+        )
     else:
         cents = ivf_centroid_rows(emb, n_centroids, id_col)
     q = quantize_embeddings(emb)

@@ -1,0 +1,133 @@
+"""UCR .txt / UEA .arff ingestion (reference: corbeille/data.py:150-267)
+— tiny fixtures flow end-to-end into extract_features."""
+
+import numpy as np
+
+from fruits_spark import datasets as DS
+from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+from fruits_spark.words import W
+
+
+def _plan():
+    return FruitPlan(
+        (Slice(iss=ISSSpec((W("[1]"),)), sieves=(Sieve("end"),)),)
+    )
+
+
+def _write_ucr(tmp_path, name, delim):
+    d = tmp_path / name
+    d.mkdir()
+    rows_train = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [5.0, float("nan"), float("nan"), 2.0]),
+    ]
+    rows_test = [(1, [0.5, 1.5, 2.5, 3.5])]
+    for split, rows in (("TRAIN", rows_train), ("TEST", rows_test)):
+        lines = [
+            delim.join([str(lb)] + [str(v) for v in series])
+            for lb, series in rows
+        ]
+        (d / f"{name}_{split}.txt").write_text("\n".join(lines) + "\n")
+    return str(d)
+
+
+def test_read_ucr_txt_both_delimiters_and_nan_repair(spark, tmp_path):
+    for name, delim in (("DSComma", ","), ("DSSpace", "  ")):
+        path = _write_ucr(tmp_path, name, delim)
+        splits = DS.read_ucr_dir(spark, path)
+        train = sorted(
+            splits["train"].collect(), key=lambda r: r["label"]
+        )
+        assert [r["label"] for r in train] == [1, 2]
+        assert list(train[0]["series"]) == [1.0, 2.0, 3.0, 4.0]
+        # NaN repair: LOCF (reference replace_nan — consecutive NaNs
+        # carry the same value)
+        assert list(train[1]["series"]) == [5.0, 5.0, 5.0, 2.0]
+        assert train[1]["n_tok"] == 4
+        test = splits["test"].collect()
+        assert [r["label"] for r in test] == [1]
+
+
+def test_ucr_leading_nan_repairs_to_zero(spark, tmp_path):
+    d = tmp_path / "DSLead"
+    d.mkdir()
+    (d / "DSLead_TRAIN.txt").write_text("1,NaN,2.0,NaN\n")
+    (d / "DSLead_TEST.txt").write_text("1,1.0,1.0,1.0\n")
+    got = DS.read_ucr_dir(spark, str(d))["train"].collect()[0]
+    assert list(got["series"]) == [0.0, 2.0, 2.0]
+
+
+def test_ucr_through_extract_features(spark, tmp_path):
+    from fruits_spark.engine.executor import extract_features, feature_columns
+
+    path = _write_ucr(tmp_path, "DSFeat", ",")
+    df = DS.read_ucr_dir(spark, path)["train"]
+    fc = feature_columns(_plan())
+    out = extract_features(
+        df, _plan(), tokens_col="series", keep=("doc_id", "label", "n_tok")
+    )
+    got = {r["label"]: r[fc[0]] for r in out.collect()}
+    # END([1]) = plain sum of the (repaired) series
+    assert got[1] == 10.0
+    assert got[2] == 5.0 + 5.0 + 5.0 + 2.0
+
+
+ARFF = """% tiny UEA-style relational fixture
+@relation test
+@attribute series relational
+  @attribute dim numeric
+@end series
+@attribute cls {a,b}
+@data
+'1.0,2.0,3.0\\n10.0,20.0,30.0',b
+'4.0,5.0,6.0\\n40.0,50.0,60.0',a
+"""
+
+ARFF_TEST = """@relation test
+@attribute series relational
+  @attribute dim numeric
+@end series
+@attribute cls {a,b}
+@data
+'7.0,8.0,9.0\\n70.0,80.0,90.0',a
+"""
+
+
+def test_read_uea_arff_labels_first_appearance(spark, tmp_path):
+    f1 = tmp_path / "T_TRAIN.arff"
+    f1.write_text(ARFF)
+    f2 = tmp_path / "T_TEST.arff"
+    f2.write_text(ARFF_TEST)
+    train, lmap = DS.read_uea_arff(spark, str(f1))
+    # first appearance order across the TRAIN split: b then a
+    assert lmap == {"b": 0, "a": 1}
+    test, lmap = DS.read_uea_arff(spark, str(f2), label_map=lmap)
+    assert lmap == {"b": 0, "a": 1}
+    rows = sorted(train.collect(), key=lambda r: r["doc_id"])
+    assert rows[0]["label"] == 0 and rows[1]["label"] == 1
+    np.testing.assert_array_equal(
+        np.array(rows[0]["series"]), [[1.0, 2.0, 3.0], [10.0, 20.0, 30.0]]
+    )
+    assert rows[0]["n_tok"] == 3
+    assert test.collect()[0]["label"] == 1
+
+
+def test_uea_arff_through_multivariate_extract(spark, tmp_path):
+    from fruits_spark.engine.executor import extract_features, feature_columns
+
+    f1 = tmp_path / "M_TRAIN.arff"
+    f1.write_text(ARFF)
+    df, _ = DS.read_uea_arff(spark, str(f1))
+    # word [2] = dimension 2 of the multivariate series (SimpleWord
+    # digits are DIMENSIONS)
+    fplan = FruitPlan(
+        (Slice(iss=ISSSpec((W("[2]"),)), sieves=(Sieve("end"),)),)
+    )
+    fc = feature_columns(fplan)
+    out = extract_features(
+        df, fplan, tokens_col="series", keep=("doc_id", "label", "n_tok"),
+        multivariate=True,
+    )
+    got = {r["label"]: r[fc[0]] for r in out.collect()}
+    assert got[0] == 60.0   # 10+20+30
+    assert got[1] == 150.0  # 40+50+60

@@ -641,6 +641,31 @@ def test_decontaminate_counts_distinct_ngrams(spark):
     assert row.n_contaminated_ngrams == 2 and row.contaminated == 1
 
 
+def test_decontaminate_mask_digits(spark):
+    """Digit-masking normalization: numeric paraphrases collide only
+    when mask_digits=True, and both sides are masked symmetrically."""
+    from fruits_spark.pipeline import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the final answer is 42 here exactly"),
+            (1, "completely unrelated words in this one doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the final answer is 7 here exactly")],
+        "doc_id long, text string",
+    )
+    plain = {r.doc_id: r.contaminated
+             for r in decontaminate(docs, bench, n=5).collect()}
+    assert plain == {0: 0, 1: 0}
+    masked = {r.doc_id: r.contaminated
+              for r in decontaminate(docs, bench, n=5,
+                                     mask_digits=True).collect()}
+    assert masked == {0: 1, 1: 0}
+
+
 # ---------------------------------------------------------------------------
 # continuous-aggregate query routing + real-time tier view
 # ---------------------------------------------------------------------------

@@ -53,10 +53,14 @@ def recall_table(sf_dir: str, n_queries: int = 50, k: int = 10,
 
     rows = []
     for n_cent in (16, 64):
-        for trained in (False, True):
+        # "sampled" = 2 Lloyd iterations on the hash-gated 1/10 subset
+        # (train_ivf_centroids sample_mod=10) — the cheap train at 10^9
+        # vectors; its recall should sit within noise of full-train
+        for trained in (False, True, "sampled"):
             iters = 2 if trained else 0
+            smod = 10 if trained == "sampled" else None
             cents = (
-                train_ivf_centroids(emb, n_cent, iters)
+                train_ivf_centroids(emb, n_cent, iters, sample_mod=smod)
                 if trained
                 else ivf_centroid_rows(emb, n_cent)
             )
@@ -80,7 +84,7 @@ def recall_table(sf_dir: str, n_queries: int = 50, k: int = 10,
                 res = ivf_topk(
                     emb, n_centroids=n_cent, n_queries=n_queries,
                     nprobe=nprobe, k=k, shards=32, train_iters=iters,
-                    query_offset=query_offset,
+                    query_offset=query_offset, train_sample_mod=smod,
                 )
                 for r in res.collect():
                     got.setdefault(r["query_id"], set()).add(r["cand_id"])
