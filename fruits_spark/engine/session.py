@@ -59,6 +59,13 @@ def build_session(
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
         .config("spark.executorEnv.MALLOC_ARENA_MAX", "2")
+        # the engine's cached tables (per-doc features, tier cells) are
+        # overwhelmingly DoubleType, for which Spark's in-memory
+        # columnar cache has no real codec (PassThrough) — the encoder
+        # selection/stats pass is pure overhead.  Measured interleaved
+        # in a quiet window: extract cache build 1.18->1.11 s, tier
+        # cache 1.41->1.33 s (-5-6 % each)
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
