@@ -41,6 +41,39 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def ratio_iqr(ratios: list) -> float:
+    """Interquartile spread of the pair ratios (retry criterion)."""
+    rs = sorted(ratios)
+    n = len(rs)
+    return rs[(3 * n) // 4] - rs[n // 4]
+
+
+def scaling_efficiency(pairs: list, quiet_tol: float = 1.25) -> tuple:
+    """(efficiency, n_quiet) from interleaved (ratio, t_small, t_big)
+    pairs: the median ratio over QUIET pairs / 4.
+
+    A pair is quiet when BOTH its runs are within ``quiet_tol`` of that
+    config's best-observed time — a run slower than that provably
+    measured external load, not the engine, and the filter is symmetric
+    (either config being hit disqualifies the pair).  Falls back to the
+    median over all pairs when fewer than 2 survive."""
+    t_small = min(ts for _, ts, _ in pairs)
+    t_big = min(tb for _, _, tb in pairs)
+    quiet = [
+        r for r, ts, tb in pairs
+        if ts <= quiet_tol * t_small and tb <= quiet_tol * t_big
+    ]
+    sample = quiet if len(quiet) >= 2 else [r for r, _, _ in pairs]
+    sample.sort()
+    mid = len(sample) // 2
+    med = (
+        sample[mid]
+        if len(sample) % 2
+        else (sample[mid - 1] + sample[mid]) / 2
+    )
+    return med / 4.0, len(quiet)
+
+
 def _flagship_plan():
     from fruits_spark.plan import ISSSpec, Prep, Sieve, Slice, FruitPlan
     from fruits_spark.words import W, of_weight
@@ -337,11 +370,6 @@ def main() -> None:
         max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "5"))
         iqr_target = float(os.environ.get("SPARK_GRAFT_SCALE_IQR", "0.15"))
 
-        def _iqr(rs: list) -> float:
-            rs = sorted(rs)
-            n = len(rs)
-            return rs[(3 * n) // 4] - rs[n // 4]
-
         while True:
             ts = run_at(n_small, scale_docs, scale_path)
             tb = run_at(n_big, scale_docs, scale_path)
@@ -350,29 +378,14 @@ def main() -> None:
                 break
             if (
                 len(pairs) >= reps
-                and _iqr([r for r, _, _ in pairs]) <= iqr_target
+                and ratio_iqr([r for r, _, _ in pairs]) <= iqr_target
             ):
                 break
         t_small = min(ts for _, ts, _ in pairs)
         t_big = min(tb for _, _, tb in pairs)
-        # QUIET-PAIR selection: a pair whose small AND big runs both sit
-        # within 25% of that config's best-observed time ran in windows
-        # the external load demonstrably left alone; pairs slower than
-        # that measured the neighbors, not the engine.  The filter is
-        # symmetric (either config being hit disqualifies the pair) and
-        # falls back to all pairs when fewer than 2 survive.
-        quiet = [
-            r for r, ts, tb in pairs
-            if ts <= 1.25 * t_small and tb <= 1.25 * t_big
-        ]
-        sample = quiet if len(quiet) >= 2 else [r for r, _, _ in pairs]
-        sample.sort()
-        mid = len(sample) // 2
-        eff = (
-            sample[mid]
-            if len(sample) % 2
-            else (sample[mid - 1] + sample[mid]) / 2
-        ) / 4.0
+        # QUIET-PAIR median (see scaling_efficiency): external-load-hit
+        # pairs measured the neighbors, not the engine
+        eff, n_quiet = scaling_efficiency(pairs)
         # measured token sum of the ACTUAL probe dataset (one columnar
         # scan of the already-materialized parquet) — a linear
         # extrapolation from the headline set drifts when tokens-per-doc
@@ -394,7 +407,7 @@ def main() -> None:
             "n_small": n_small,
             "n_big": n_big,
             "pair_ratios": [round(r, 2) for r, _, _ in pairs],
-            "n_quiet_pairs": len(quiet),
+            "n_quiet_pairs": n_quiet,
             "efficiency": round(eff, 3),
         }
 
