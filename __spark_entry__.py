@@ -1442,12 +1442,16 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed-metadata row + an integer series (per-frame pixel sums /
     int16 samples / per-row luminance sums) fed through the same ISS
     engine ([1] and [1][1] ENDs); results are unioned with a ``fmt``
-    tag.  The oracle recomputes all three from their integer formulas,
-    so any byte error in any container, decode, or slicing fails the
+    tag.  Two more rows per doc gate the media TRANSFORM ops: every-2nd
+    frame-sampling (``frb1_s2``, a JVM array projection) and 2x2
+    nearest-neighbor resize (``frb1_rz``, batched pixel gather).  The
+    oracle recomputes everything from the integer formulas, so any byte
+    error in any container, decode, slicing, or index mapping fails the
     value match."""
     from fruits_spark.multimodal import (
-        decode_bmp, decode_frames, decode_wav, synth_bmp_blobs,
-        synth_frame_blobs, synth_wav_blobs,
+        decode_bmp, decode_frames, decode_wav, resize_frames,
+        sample_frames, synth_bmp_blobs, synth_frame_blobs,
+        synth_wav_blobs,
     )
     from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
     from fruits_spark.words import W
@@ -1511,7 +1515,46 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(fc[0]).cast("long").alias("frame_end_1"),
         F.col(fc[1]).cast("long").alias("frame_end_1_1"),
     )
-    return frb.unionByName(wav).unionByName(bmp)
+    # frame-sampling (every 2nd frame, JVM array projection) and
+    # nearest-neighbor 2x2 resize (batched gather) — the keyframe /
+    # downscale steps of a media feature pipeline, through the same ISS
+    # plan; the oracle replays both from the integer pixel formula
+    sdec = sample_frames(
+        decode_frames(synth_frame_blobs(docs)), 2
+    ).withColumn("n_tok", F.col("n_frames"))
+    s2 = extract_features(
+        sdec, fplan, tokens_col="frame_sums",
+        keep=("doc_id", "n_frames", "width", "height", "n_bytes"),
+    ).select(
+        F.lit("frb1_s2").alias("fmt"),
+        "doc_id",
+        F.col("n_frames").cast("int").alias("n_units"),
+        F.col("width").cast("int").alias("meta1"),
+        F.col("height").cast("int").alias("meta2"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col(fc[0]).cast("long").alias("frame_end_1"),
+        F.col(fc[1]).cast("long").alias("frame_end_1_1"),
+    )
+    rdec = resize_frames(synth_frame_blobs(docs), 2, 2).withColumn(
+        "n_tok", F.col("n_frames")
+    )
+    rz = extract_features(
+        rdec, fplan, tokens_col="frame_sums",
+        keep=("doc_id", "n_frames", "width", "height"),
+    ).select(
+        F.lit("frb1_rz").alias("fmt"),
+        "doc_id",
+        F.col("n_frames").cast("int").alias("n_units"),
+        F.col("width").cast("int").alias("meta1"),
+        F.col("height").cast("int").alias("meta2"),
+        (F.lit(4) + F.col("n_frames") * 4).cast("int").alias("n_bytes"),
+        F.col(fc[0]).cast("long").alias("frame_end_1"),
+        F.col(fc[1]).cast("long").alias("frame_end_1_1"),
+    )
+    return (
+        frb.unionByName(wav).unionByName(bmp)
+        .unionByName(s2).unionByName(rz)
+    )
 
 
 SQL_MULTIMODAL_FRAMES = """
@@ -1573,6 +1616,52 @@ SELECT 'wav' AS fmt,
        CAST(SUM(v * (run1 - v)) AS BIGINT) AS frame_end_1_1
 FROM wruns
 GROUP BY doc_id, ns
+UNION ALL
+SELECT 'frb1_s2' AS fmt,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS INT) AS n_units,
+       CAST(w AS INT) AS meta1,
+       CAST(h AS INT) AS meta2,
+       CAST(4 + nf * w * h AS INT) AS n_bytes,
+       CAST(SUM(fsum) AS BIGINT) AS frame_end_1,
+       CAST(SUM(fsum * (srun - fsum)) AS BIGINT) AS frame_end_1_1
+FROM (
+    SELECT doc_id, nf, w, h, f, fsum,
+           SUM(fsum) OVER (PARTITION BY doc_id ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srun
+    FROM fs WHERE f % 2 = 0
+)
+GROUP BY doc_id, nf, w, h
+UNION ALL
+SELECT 'frb1_rz' AS fmt,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(nf AS INT) AS n_units,
+       2 AS meta1,
+       2 AS meta2,
+       CAST(4 + nf * 4 AS INT) AS n_bytes,
+       CAST(SUM(rsum) AS BIGINT) AS frame_end_1,
+       CAST(SUM(rsum * (rrun - rsum)) AS BIGINT) AS frame_end_1_1
+FROM (
+    SELECT doc_id, nf, f, rsum,
+           SUM(rsum) OVER (PARTITION BY doc_id ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rrun
+    FROM (
+        SELECT doc_id, nf, f,
+               SUM(((doc_id + 1) * 31 + f * 7
+                    + (((y2 * h) // 2) * w + ((x2 * w) // 2)) * 3) % 251
+               ) AS rsum
+        FROM (
+            SELECT doc_id, nf, w, h, f, y2, unnest(range(0, 2)) AS x2
+            FROM (
+                SELECT doc_id, nf, w, h, f, unnest(range(0, 2)) AS y2
+                FROM (SELECT doc_id, nf, w, h,
+                             unnest(range(0, nf)) AS f FROM dims)
+            )
+        )
+        GROUP BY doc_id, nf, f
+    )
+)
+GROUP BY doc_id, nf
 UNION ALL
 SELECT 'bmp' AS fmt,
        CAST(doc_id AS BIGINT) AS doc_id,

@@ -34,7 +34,7 @@ rollup stages see exactly the shape they see for token sequences.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 FRB1_MAGIC = 0x46
 
@@ -176,6 +176,102 @@ def decode_frames(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "width": w.astype(np.int32),
                     "height": h.astype(np.int32),
                     "n_bytes": lens.astype(np.int32),
+                    "frame_sums": frame_sums,
+                }
+            )
+
+    return blobs.mapInPandas(dec, schema)
+
+
+def sample_frames(decoded: DataFrame, stride: int) -> DataFrame:
+    """Frame-sampling (the video keyframe-every-k op): keep every
+    ``stride``-th frame's features from a :func:`decode_frames` output.
+    Pure JVM array projection — no second decode pass, no Python, no
+    shuffle; at corpus scale this runs inside the same stage as the
+    decode."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    sampled = F.expr(
+        f"transform(sequence(0, n_frames - 1, {stride}), "
+        "i -> frame_sums[i])"
+    )
+    return (
+        decoded.withColumn("frame_sums", sampled)
+        .withColumn("n_frames", F.size("frame_sums"))
+    )
+
+
+def resize_frames(
+    blobs: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Nearest-neighbor resize of every FRB1 frame to ``out_w x out_h``
+    (the media feature-extract downscale step), emitting the resized
+    per-frame pixel sums: one row per doc
+    ``(doc_id, n_frames, width=out_w, height=out_h, frame_sums)``.
+
+    Batched like :func:`decode_frames`: the per-blob nearest-neighbor
+    offset table is computed vectorized from the header dims
+    (``src = floor(y2*h/out_h)*w + floor(x2*w/out_w)``), then ONE fancy
+    gather + row-sum per Arrow batch covers every (frame, output-pixel)
+    of every blob.  Integer-exact, so the DuckDB oracle replays it from
+    the pixel formula."""
+    import pandas as pd
+
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize dims must be >= 1")
+    schema = (
+        f"{id_col} long, n_frames int, width int, height int, "
+        "frame_sums array<int>"
+    )
+
+    def dec(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            bufs = [bytes(b) for b in pdf["blob"]]
+            lens = np.fromiter(
+                (len(b) for b in bufs), dtype=np.int64, count=n
+            )
+            if (lens < 4).any():
+                raise ValueError("not an FRB1 blob")
+            arr = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+            if (arr[starts] != FRB1_MAGIC).any():
+                raise ValueError("not an FRB1 blob")
+            nf = arr[starts + 1].astype(np.int64)
+            w = arr[starts + 2].astype(np.int64)
+            h = arr[starts + 3].astype(np.int64)
+            if (nf < 1).any() or (lens != 4 + nf * w * h).any():
+                raise ValueError("FRB1 payload length mismatch")
+            if (w < 1).any() or (h < 1).any():
+                raise ValueError("cannot resize zero-area frames")
+            # per-blob nearest-neighbor offsets (n, out_h*out_w)
+            y2 = np.arange(out_h)
+            x2 = np.arange(out_w)
+            src_y = (y2[None, :] * h[:, None]) // out_h     # (n, out_h)
+            src_x = (x2[None, :] * w[:, None]) // out_w     # (n, out_w)
+            O = (
+                src_y[:, :, None] * w[:, None, None]
+                + src_x[:, None, :]
+            ).reshape(n, out_h * out_w)
+            total_frames = int(nf.sum())
+            cum_nf = np.cumsum(nf)
+            within = np.arange(total_frames) - np.repeat(cum_nf - nf, nf)
+            fstarts = (
+                np.repeat(starts + 4, nf) + within * np.repeat(w * h, nf)
+            )
+            idx = fstarts[:, None] + np.repeat(O, nf, axis=0)
+            sums = arr[idx].astype(np.int64).sum(axis=1)
+            frame_sums = np.split(sums.astype(np.int32), cum_nf[:-1])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_frames": nf.astype(np.int32),
+                    "width": np.full(n, out_w, dtype=np.int32),
+                    "height": np.full(n, out_h, dtype=np.int32),
                     "frame_sums": frame_sums,
                 }
             )

@@ -236,6 +236,51 @@ def test_frb1_batched_decode_matches_reference(spark):
         np.testing.assert_array_equal(np.array(g["frame_sums"]), ref_sums)
 
 
+def test_sample_and_resize_frames(spark):
+    """Frame-sampling (JVM array projection) and nearest-neighbor
+    resize (batched gather) vs an independent per-blob numpy decode."""
+    from fruits_spark.multimodal import (
+        decode_frames, resize_frames, sample_frames, synth_frame_blobs,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    blobs = synth_frame_blobs(docs)
+    raw = {r["doc_id"]: bytes(r["blob"]) for r in blobs.collect()}
+
+    sampled = {
+        r["doc_id"]: (r["n_frames"], list(r["frame_sums"]))
+        for r in sample_frames(decode_frames(blobs), 2).collect()
+    }
+    out_w, out_h = 2, 2
+    resized = {
+        r["doc_id"]: (r["n_frames"], r["width"], r["height"],
+                      list(r["frame_sums"]))
+        for r in resize_frames(blobs, out_w, out_h).collect()
+    }
+    for d, b in raw.items():
+        arr = np.frombuffer(b, dtype=np.uint8)
+        nf, w, h = int(arr[1]), int(arr[2]), int(arr[3])
+        px = arr[4:].astype(np.int64).reshape(nf, h, w)
+        full_sums = px.reshape(nf, -1).sum(axis=1)
+        want_sampled = [int(s) for s in full_sums[::2]]
+        assert sampled[d] == (len(want_sampled), want_sampled)
+        ys = (np.arange(out_h) * h) // out_h
+        xs = (np.arange(out_w) * w) // out_w
+        want_rz = [int(px[f][np.ix_(ys, xs)].sum()) for f in range(nf)]
+        assert resized[d] == (nf, out_w, out_h, want_rz)
+
+
+def test_resize_frames_rejects_bad_args(spark):
+    from fruits_spark.multimodal import resize_frames, sample_frames
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        sample_frames(None, 0)
+    with _pytest.raises(ValueError, match="resize"):
+        resize_frames(None, 0, 2)
+
+
 def test_lang_id_script_detector(spark):
     from fruits_spark.pipeline import lang_id
 
