@@ -270,6 +270,44 @@ def test_sample_and_resize_frames(spark):
         assert resized[d] == (nf, out_w, out_h, want_rz)
 
 
+def test_batched_decoder_edges(spark):
+    """Edge shapes through the batched decode paths: zero-sample WAV,
+    1x1 BMP, and an UPSCALING resize (out dims larger than source)."""
+    from fruits_spark.multimodal import (
+        bmp_blob, decode_bmp, decode_wav, resize_frames,
+        synth_frame_blobs, wav_blob,
+    )
+
+    wav = spark.createDataFrame(
+        [(0, bytearray(wav_blob([]))), (1, bytearray(wav_blob([5, -5])))],
+        "doc_id long, blob binary",
+    )
+    got = {r["doc_id"]: (r["n_samples"], list(r["samples"]))
+           for r in decode_wav(wav).collect()}
+    assert got == {0: (0, []), 1: (2, [5, -5])}
+
+    px = np.arange(3, dtype=np.uint8).reshape(1, 1, 3)
+    bmp = spark.createDataFrame(
+        [(0, bytearray(bmp_blob(px)))], "doc_id long, blob binary"
+    )
+    r = decode_bmp(bmp).collect()[0]
+    assert (r["width"], r["height"], list(r["row_sums"])) == (1, 1, [3])
+
+    docs = spark.createDataFrame([(3,)], "doc_id long")  # 3x5x3 frames
+    up = resize_frames(synth_frame_blobs(docs), 7, 6).collect()[0]
+    blob = np.frombuffer(
+        bytes(synth_frame_blobs(docs).collect()[0]["blob"]), np.uint8
+    )
+    nf, w, h = int(blob[1]), int(blob[2]), int(blob[3])
+    pxs = blob[4:].astype(np.int64).reshape(nf, h, w)
+    ys = (np.arange(6) * h) // 6
+    xs = (np.arange(7) * w) // 7
+    want = [int(pxs[f][np.ix_(ys, xs)].sum()) for f in range(nf)]
+    assert (up["width"], up["height"], list(up["frame_sums"])) == (
+        7, 6, want
+    )
+
+
 def test_resize_frames_rejects_bad_args(spark):
     from fruits_spark.multimodal import resize_frames, sample_frames
 
