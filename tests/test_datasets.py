@@ -1,11 +1,46 @@
 """UCR .txt / UEA .arff ingestion (reference: corbeille/data.py:150-267)
-— tiny fixtures flow end-to-end into extract_features."""
+— tiny fixtures flow end-to-end into extract_features, plus LIVE parity
+against the reference loader itself (loaded standalone; scipy is
+present in this container, the fruits/numba import of the full
+corbeille package is not needed for data.py)."""
+
+import importlib.util
+import os
 
 import numpy as np
+import pytest
 
 from fruits_spark import datasets as DS
 from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
 from fruits_spark.words import W
+
+_REF_DATA = "/root/reference/experiments/corbeille/corbeille/data.py"
+
+
+def _load_reference_data():
+    """Load the reference's data.py standalone.  scipy is absent in
+    this container; its arff reader is only touched by the
+    multivariate branch, so a module stub satisfies the import and the
+    UNIVARIATE branch runs the reference's real code (np.loadtxt +
+    replace_nan) untouched."""
+    import sys
+    import types
+
+    if "scipy" not in sys.modules:
+        scipy = types.ModuleType("scipy")
+        scipy_io = types.ModuleType("scipy.io")
+        arff = types.ModuleType("scipy.io.arff")
+        arff.loadarff = None  # multivariate branch unsupported w/o scipy
+        scipy_io.arff = arff
+        scipy.io = scipy_io
+        sys.modules["scipy"] = scipy
+        sys.modules["scipy.io"] = scipy_io
+        sys.modules["scipy.io.arff"] = arff
+    spec = importlib.util.spec_from_file_location("ref_corbeille_data",
+                                                  _REF_DATA)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _plan():
@@ -110,6 +145,45 @@ def test_read_uea_arff_labels_first_appearance(spark, tmp_path):
     )
     assert rows[0]["n_tok"] == 3
     assert test.collect()[0]["label"] == 1
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_DATA),
+                    reason="reference checkout not present")
+def test_ucr_txt_parity_with_reference_loader(spark, tmp_path):
+    """Live parity: the reference's load() (np.loadtxt + replace_nan)
+    and read_ucr_dir must produce identical (label, repaired series)
+    sets on a fixture with NaNs in every tricky position."""
+    ref = _load_reference_data()
+    fixtures = {
+        "ParC": (  # comma-delimited (the reference's sniff picks ',')
+            "1,NaN,2.0,NaN,NaN,7.0\n"
+            "2,5.0,6.0,7.0,8.0,9.0\n"
+            "3,NaN,NaN,NaN,NaN,NaN\n",
+            # 2 rows: np.loadtxt returns 1-D for a single row and the
+            # reference's [:, 1:] slice crashes on it
+            "2,1.0,2.0,3.0,4.0,5.0\n1,0.5,NaN,1.5,2.5,3.5\n",
+        ),
+        "ParW": (  # whitespace-delimited (sniff falls through to None)
+            "1  NaN  2.0  NaN  NaN  7.0\n"
+            "2  5.0  6.0  7.0  8.0  9.0\n",
+            "2  1.0  2.0  3.0  4.0  5.0\n3  9.0  8.0  7.0  6.0  5.0\n",
+        ),
+    }
+    for name, (train_txt, test_txt) in fixtures.items():
+        d = tmp_path / name
+        d.mkdir()
+        (d / f"{name}_TRAIN.txt").write_text(train_txt)
+        (d / f"{name}_TEST.txt").write_text(test_txt)
+        Xtr, ytr, Xte, yte = ref.load(str(d), univariate=True, cache=False)
+        for split, X, y in (("train", Xtr, ytr), ("test", Xte, yte)):
+            want = {
+                (int(y[i]), tuple(X[i, 0])) for i in range(len(y))
+            }
+            got = {
+                (r["label"], tuple(r["series"]))
+                for r in DS.read_ucr_dir(spark, str(d))[split].collect()
+            }
+            assert got == want, (name, split)
 
 
 def test_uea_arff_through_multivariate_extract(spark, tmp_path):
