@@ -401,6 +401,7 @@ def cosine_pairs(
     threshold: float = 0.2,
     id_col: str = "vec_id",
     query_offset: int = 0,
+    query_df: DataFrame | None = None,
 ) -> DataFrame:
     """Brute-force cosine similarity of ``n_queries`` vectors (ids in
     ``[query_offset, query_offset + n_queries)``) against the whole
@@ -409,25 +410,40 @@ def cosine_pairs(
     exists so evaluation queries can be chosen DISJOINT from the IVF
     seed window — a query that is itself a centroid gets its own
     inverted list and reads artificially high recall (the round-3
-    measurement trap in BENCH.md)."""
+    measurement trap in BENCH.md).
+
+    ``query_df``: EXTERNAL query vectors ``(<id_col>, embedding)``
+    instead of a window of the table itself — the user-facing search
+    path (query ids are their own namespace, so candidates are not
+    self-filtered).  Must be small enough to broadcast, like the
+    in-table query window."""
     q = quantize_embeddings(emb)
-    queries = q.where(
-        (F.col(id_col) >= query_offset)
-        & (F.col(id_col) < query_offset + n_queries)
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col("qvec").alias("q_qvec"),
-        F.col("qnorm").alias("q_qnorm"),
-    )
+    if query_df is not None:
+        queries = quantize_embeddings(query_df).select(
+            F.col(id_col).alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("qnorm").alias("q_qnorm"),
+        )
+    else:
+        queries = q.where(
+            (F.col(id_col) >= query_offset)
+            & (F.col(id_col) < query_offset + n_queries)
+        ).select(
+            F.col(id_col).alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("qnorm").alias("q_qnorm"),
+        )
     cand = q.select(
         F.col(id_col).alias("cand_id"), "qvec", "qnorm"
     )
     dot = F.expr(
         "aggregate(zip_with(q_qvec, qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
     )
+    joined = cand.crossJoin(F.broadcast(queries))
+    if query_df is None:
+        joined = joined.where(F.col("query_id") != F.col("cand_id"))
     out = (
-        cand.crossJoin(F.broadcast(queries))
-        .where(F.col("query_id") != F.col("cand_id"))
+        joined
         .withColumn("dot", dot)
         .withColumn(
             "cosine",
@@ -526,16 +542,19 @@ def cosine_topk(
     id_col: str = "vec_id",
     shards: int | None = None,
     query_offset: int = 0,
+    query_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query via the two-phase partial top-k
     (see :func:`_two_phase_topk`) over brute-force scores.  ``shards``
     defaults to :func:`adaptive_topk_shards` of the candidate count (one
     cheap metadata-level ``count()``), so phase-1 buffers stay bounded
-    at any N; pass an explicit value to skip the count job."""
+    at any N; pass an explicit value to skip the count job.
+    ``query_df``: search with external query vectors (see
+    :func:`cosine_pairs`)."""
     if shards is None:
         shards = adaptive_topk_shards(emb.count())
     pairs = cosine_pairs(emb, n_queries, threshold=-1.1, id_col=id_col,
-                         query_offset=query_offset)
+                         query_offset=query_offset, query_df=query_df)
     return _two_phase_topk(pairs, k, shards)
 
 

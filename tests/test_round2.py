@@ -158,6 +158,46 @@ def test_cosine_topk_matches_window_rank(spark):
     assert gm == wm
 
 
+def test_cosine_topk_external_queries(spark):
+    """User-facing search path: external query vectors (their own id
+    namespace, no self-filter) must rank identically to a numpy
+    brute-force over the same quantized integer math."""
+    from fruits_spark.pipeline import cosine_topk
+
+    rng = np.random.default_rng(7)
+    base = [[float(v) for v in rng.normal(size=8)] for _ in range(40)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    qvecs = [base[3], [float(v) for v in rng.normal(size=8)]]
+    qdf = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(qvecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {}
+    for r in cosine_topk(emb, k=4, shards=4, query_df=qdf).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["cand_id"], r["cosine_r6"])
+        )
+    Q = np.floor(np.array(base) * 10_000).astype(np.int64)
+    for qi, qv in enumerate(qvecs):
+        qq = np.floor(np.array(qv) * 10_000).astype(np.int64)
+        dots = (Q @ qq).astype(np.float64)
+        denom = np.sqrt(
+            (Q * Q).sum(axis=1).astype(np.float64)
+            * float((qq * qq).sum())
+        )
+        cos = np.round(dots / denom, 6)
+        order = sorted(range(len(base)), key=lambda i: (-cos[i], i))[:4]
+        want = [(r + 1, int(i), float(cos[i]))
+                for r, i in enumerate(order)]
+        assert got[100 + qi] == want
+    # a query identical to a stored vector must see THAT vector at
+    # rank 1 (external ids are not self-filtered)
+    assert got[100][0][1] == 3
+
+
 # --- portable hash ---------------------------------------------------------
 
 def test_portable_hash_matches_python(spark):
