@@ -778,6 +778,7 @@ def ivf_topk(
     train_iters: int = 2,
     query_offset: int = 0,
     train_sample_mod: int | None = None,
+    query_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its best centroid
     (a pure projection — centroids are inlined literals, so no join or
@@ -809,15 +810,18 @@ def ivf_topk(
     cand = _assign_cid(q, cents, id_col)
     # probe selection runs driver-side over the BOUNDED query window
     # (n_queries rows, collected like the centroid rows) — keeps the
-    # giant per-row centroid expression out of the plan entirely
-    qrows = (
-        q.where(
+    # giant per-row centroid expression out of the plan entirely.
+    # query_df = external query vectors (user-facing search; own id
+    # namespace, so no self-filter)
+    qsrc = (
+        quantize_embeddings(query_df)
+        if query_df is not None
+        else q.where(
             (F.col(id_col) >= query_offset)
             & (F.col(id_col) < query_offset + n_queries)
         )
-        .select(id_col, "qvec", "qnorm")
-        .collect()
     )
+    qrows = qsrc.select(id_col, "qvec", "qnorm").collect()
     queries = emb.sparkSession.createDataFrame(
         _probe_lists(cents, qrows, nprobe),
         "query_id long, q_qvec array<bigint>, q_qnorm long, cid int",
@@ -825,9 +829,11 @@ def ivf_topk(
     dot = F.expr(
         "aggregate(zip_with(q_qvec, qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
     )
+    joined = cand.join(F.broadcast(queries), "cid")
+    if query_df is None:
+        joined = joined.where(F.col("query_id") != F.col("cand_id"))
     pairs = (
-        cand.join(F.broadcast(queries), "cid")
-        .where(F.col("query_id") != F.col("cand_id"))
+        joined
         .withColumn("dot", dot)
         .withColumn(
             "cosine",

@@ -198,6 +198,38 @@ def test_cosine_topk_external_queries(spark):
     assert got[100][0][1] == 3
 
 
+def test_ivf_topk_external_queries(spark):
+    """IVF with external query vectors: ranking over the probed lists
+    must equal brute-force cosine_topk restricted to the same lists —
+    and a query equal to a stored vector finds it at rank 1."""
+    from fruits_spark.pipeline import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(23)
+    base = [[float(v) for v in rng.normal(size=8)] for _ in range(60)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(500, base[17])], "vec_id long, embedding array<double>"
+    )
+    got = [
+        (r["rank"], r["cand_id"])
+        for r in ivf_topk(
+            emb, n_centroids=4, nprobe=4, k=5, shards=4,
+            train_iters=0, query_df=qdf,
+        ).collect()
+    ]
+    # nprobe == n_centroids -> every list probed -> must equal exact
+    # brute force with the same external query
+    want = [
+        (r["rank"], r["cand_id"])
+        for r in cosine_topk(emb, k=5, shards=4, query_df=qdf).collect()
+    ]
+    assert got == sorted(want)
+    assert got[0] == (1, 17)  # the identical stored vector, rank 1
+
+
 # --- portable hash ---------------------------------------------------------
 
 def test_portable_hash_matches_python(spark):
