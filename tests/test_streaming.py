@@ -53,6 +53,60 @@ def test_incremental_stream_matches_batch(spark, tmp_path):
     )
 
 
+def test_streaming_plus_realtime_view_is_always_current(spark, tmp_path):
+    """Composition: a tier maintained by the streaming job + the
+    real-time view answer queries over data the stream has NOT yet
+    processed.  Buckets are arrival-monotone (the continuous-aggregate
+    invariant realtime_tier documents), the stream materializes the
+    first wave only, and realtime_tier over (materialized cells, all
+    raw features) must equal the batch rollup over everything."""
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "incoming")
+    out = str(tmp_path / "tiers")
+    os.makedirs(inp)
+    rows = [
+        (
+            d,
+            [(d * 7 + i) % 50 for i in range(d % 13 + 4)],
+            d % 13 + 4,
+            f"s{d % 3}",
+        )
+        for d in range(400)
+    ]
+    schema = "doc_id long, tokens array<int>, n_tok int, source string"
+    all_df = spark.createDataFrame(rows, schema)
+    bexpr = F.floor(F.col("doc_id") / 50).cast("int")
+
+    # wave 1 = docs 0..199 -> buckets 0..3 COMPLETE (arrival-monotone)
+    spark.createDataFrame(rows[:200], schema).write.mode("append").parquet(inp)
+    q = start_stream_rollup(
+        spark, inp, out, PLAN, n_buckets=8, bucket_expr=bexpr,
+        schema=schema,
+    )
+    q.awaitTermination(120)
+
+    fcols = feature_columns(PLAN)
+    materialized = compact_tier(spark, out, fcols)
+    assert materialized.agg(F.max("bucket")).collect()[0][0] == 3
+
+    feats_all = extract_features(all_df, PLAN)
+    rt = RU.realtime_tier(
+        materialized, feats_all, RU.Tier("t", 1), 8, fcols,
+        bucket_expr=bexpr,
+    ).toPandas()
+    expect = RU.rollup_tier(
+        feats_all, RU.Tier("t", 1), 8, fcols, bucket_expr=bexpr
+    ).toPandas()
+    key = ["source", "bucket"]
+    rt = rt.sort_values(key).reset_index(drop=True)
+    expect = expect.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        rt[expect.columns], expect, check_exact=False, rtol=1e-9,
+        check_dtype=False,
+    )
+
+
 def test_stateful_tier_updates_equal_batch(spark, tmp_path):
     """applyInPandasWithState tier maintainer: the final state per
     (source, bucket) must equal the batch rollup (integer plan keeps
