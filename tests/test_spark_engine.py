@@ -106,6 +106,36 @@ def test_gap_fill_completes_spine(spark, token_df):
     assert (filled.loc[filled["filled"], "n_docs"] == 0).all()
 
 
+def test_gap_fill_carry_forward(spark):
+    """carry_cols: gap cells take the last observed value per source
+    (LOCF window); cells before any observation stay null; zero-fill
+    columns are untouched by the carry."""
+    cells = spark.createDataFrame(
+        [
+            ("s0", 1, 5, 50, 1.5),
+            ("s0", 3, 2, 20, 3.5),
+            ("s1", 0, 1, 10, 9.0),
+        ],
+        "source string, bucket int, n_docs long, sum_tok long, sum_x double",
+    )
+    spine = spark.createDataFrame(
+        [("s0", b) for b in range(5)] + [("s1", b) for b in range(3)],
+        "source string, bucket int",
+    )
+    filled = RU.gap_fill(cells, spine, carry_cols=["sum_x"])
+    got = {
+        (r["source"], r["bucket"]): (r["sum_x"], r["n_docs"], r["filled"])
+        for r in filled.collect()
+    }
+    assert got[("s0", 0)] == (None, 0, True)   # before first obs: null
+    assert got[("s0", 1)] == (1.5, 5, False)
+    assert got[("s0", 2)] == (1.5, 0, True)    # carried from bucket 1
+    assert got[("s0", 3)] == (3.5, 2, False)
+    assert got[("s0", 4)] == (3.5, 0, True)    # carried from bucket 3
+    assert got[("s1", 1)] == (9.0, 0, True)
+    assert got[("s1", 2)] == (9.0, 0, True)
+
+
 def test_codec_roundtrip_on_rolled_streams(spark, token_df):
     from fruits_spark.engine.codec_udf import decode_stream, encode_streams
     from fruits_spark.kernels.codec import dod_decode
