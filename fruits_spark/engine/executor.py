@@ -257,6 +257,7 @@ def compute_features_block(Z: np.ndarray, fplan: Pl.FruitPlan) -> np.ndarray:
 _FLAT_PREPS = {"inc", "std", "nrm"}
 _FLAT_SIEVES = {
     "max", "min", "end", "cur", "npi", "mpi", "xpi", "lpi", "ppv", "cpv",
+    "avg", "std",
 }
 
 
@@ -277,8 +278,9 @@ def plan_is_flat(fplan: Pl.FruitPlan) -> bool:
                 return False
             if spec.argmax:  # index back-translation is bucketed-only
                 return False
-            if spec.weighting not in (None, "indices", "l1", "l2"):
-                return False  # plateaus/custom lookups are bucketed-only
+            if spec.weighting not in (None, "indices", "l1", "l2",
+                                      "plateaus"):
+                return False  # custom lookup callables are bucketed-only
             if any(w.matrix.shape[1] > 1 for w in spec.words):
                 return False
     return True
@@ -288,6 +290,23 @@ def plan_has_pre(fplan: Pl.FruitPlan) -> bool:
     return any(
         sv.params.get("pre") for sl in fplan.slices for sv in sl.sieves
     )
+
+
+def plan_is_padded_ok(fplan: Pl.FruitPlan) -> bool:
+    """Ops the band-padded ALTERNATIVE layout implements — a strict
+    subset of the flat set (avg/std sieves and plateaus weighting are
+    flat+bucketed only); plans outside it run the flat path even under
+    SPARK_GRAFT_EXEC=padded."""
+    for sl in fplan.slices:
+        if any(sv.kind in ("avg", "std") for sv in sl.sieves):
+            return False
+        for spec in sl.iss_chain():
+            if (
+                not isinstance(spec, Pl.CosWISSSpec)
+                and spec.weighting == "plateaus"
+            ):
+                return False
+    return True
 
 
 def compute_features_flat(
@@ -344,6 +363,8 @@ def _lookup_flat(spec: Pl.ISSSpec, seg, xp, x_orig):
         return KF.l1_lookup_flat(seg, base, **wp)
     if spec.weighting == "l2":
         return KF.l2_lookup_flat(seg, base, **wp)
+    if spec.weighting == "plateaus":
+        return KF.plateaus_lookup_flat(seg, **wp)
     raise ValueError(spec.weighting)
 
 
@@ -493,6 +514,12 @@ def _apply_sieve_flat(seg, stream, sv: Pl.Sieve, src: np.ndarray,
         return KF.sieve_min_flat(seg, stream, cuts, q)
     if sv.kind == "cur":
         return KF.sieve_cur_flat(seg, stream, cuts, q)
+    if sv.kind in ("avg", "std"):
+        # reference quirk: faithful AVG/STD call CUR (segment.py:309,352)
+        if p.get("faithful", True):
+            return KF.sieve_cur_flat(seg, stream, cuts, q)
+        fn = KF.sieve_avg_flat if sv.kind == "avg" else KF.sieve_std_flat
+        return fn(seg, stream, cuts, q)
     raise ValueError(sv.kind)
 
 
@@ -734,6 +761,7 @@ def extract_features(
     use_padded = (
         os.environ.get("SPARK_GRAFT_EXEC", "flat") == "padded"
         and not plan_has_pre(fplan)
+        and plan_is_padded_ok(fplan)
     )
 
     # Bound the per-call block size by token volume, not rows: a foreign

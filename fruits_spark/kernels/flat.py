@@ -273,6 +273,27 @@ def indices_lookup_flat(seg: Seg, relative: bool = True,
     return _nrm01_flat(seg, r) * scale
 
 
+def plateaus_lookup_flat(seg: Seg, nplateaus: int, reverse: bool = False,
+                         scale: float = 50.0) -> np.ndarray:
+    """Step-function weighting g (reference weighting.py:213-256) on the
+    flat layout: plateau i (of ``step = len // nplateaus`` positions)
+    weighs ``i / (nplateaus - 1)``; positions past ``nplateaus * step``
+    keep the pre-fill value 1.0 (matching the bucketed kernel's
+    initialized-ones tail); per-segment min-max then scale.  ``reverse``
+    indexes positions from the segment's end — identical to reversing
+    the per-row array."""
+    L = seg.broadcast(seg.lengths)
+    p = (L - 1 - seg.pos) if reverse else seg.pos
+    step = seg.broadcast(seg.lengths // nplateaus)
+    vals = np.ones(seg.total, dtype=np.float64)
+    ok = step > 0
+    idx = np.zeros(seg.total, dtype=np.int64)
+    np.floor_divide(p, step, out=idx, where=ok)
+    inside = ok & (idx < nplateaus)
+    vals[inside] = idx[inside] / (nplateaus - 1)
+    return _nrm01_flat(seg, vals) * scale
+
+
 def l1_mass_flat(seg: Seg, x: np.ndarray) -> np.ndarray:
     return seg.cumsum(np.abs(inc_flat(seg, x)))
 
@@ -659,6 +680,37 @@ def sieve_cur_flat(seg, stream, cuts, quantiles):
     def red(m):
         return seg.sum(x2 * x2 if m is None else np.where(m, x2 * x2, 0.0))
     return _masked_feature(seg, x2, cuts, quantiles, red)
+
+
+def sieve_avg_flat(seg, stream, cuts, quantiles):
+    """True per-band mean (the ``faithful=False`` AVG; faithful=True is
+    routed to CUR upstream, reproducing the reference quirk)."""
+    def red(m):
+        if m is None:
+            cnt = seg.lengths.astype(np.float64)
+            s = seg.sum(stream)
+        else:
+            cnt = seg.count(m)
+            s = seg.sum(np.where(m, stream, 0.0))
+        return np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+    return _masked_feature(seg, stream, cuts, quantiles, red)
+
+
+def sieve_std_flat(seg, stream, cuts, quantiles):
+    """True per-band standard deviation (``faithful=False`` STD)."""
+    def red(m):
+        if m is None:
+            cnt = np.maximum(seg.lengths, 1).astype(np.float64)
+            mu_b = seg.broadcast(seg.sum(stream) / cnt)
+            var = seg.sum((stream - mu_b) ** 2) / cnt
+        else:
+            cnt = np.maximum(seg.count(m), 1)
+            mu_b = seg.broadcast(
+                seg.sum(np.where(m, stream, 0.0)) / cnt
+            )
+            var = seg.sum(np.where(m, (stream - mu_b) ** 2, 0.0)) / cnt
+        return np.sqrt(var)
+    return _masked_feature(seg, stream, cuts, quantiles, red)
 
 
 def _pre_inc_flat(seg, stream, inc):

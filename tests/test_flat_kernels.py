@@ -121,6 +121,56 @@ def _assert_match(got, expect, name, int_domain):
         np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-12)
 
 
+# flat + bucketed only (the padded alternative layout does not
+# implement these — executor.plan_is_padded_ok routes them to flat)
+PLANS_FLAT_ONLY = {
+    "weighted_plateaus": FruitPlan((
+        Slice(iss=ISSSpec((W("[1][1]"),), weighting="plateaus",
+                          weighting_params={"nplateaus": 3, "scale": 1.0}),
+              sieves=(Sieve("end"),)),
+    )),
+    "weighted_plateaus_rev": FruitPlan((
+        Slice(iss=ISSSpec((W("[1]"),), weighting="plateaus",
+                          weighting_params={"nplateaus": 4, "reverse": True,
+                                            "scale": 1.0}),
+              sieves=(Sieve("end"),)),
+    )),
+    "avg_std_true": FruitPlan((
+        Slice(iss=ISSSpec((W("[11]"),)),
+              sieves=(Sieve("avg", {"faithful": False}),
+                      Sieve("std", {"faithful": False}),
+                      Sieve("avg"),   # faithful=True -> CUR quirk
+                      Sieve("std"))),
+    )),
+    "avg_std_banded": FruitPlan((
+        Slice(iss=ISSSpec((W("[1]"),)),
+              sieves=(Sieve("avg", {"faithful": False,
+                                    "q": (-1.0, 0.0, 1.0)}),
+                      Sieve("std", {"faithful": False,
+                                    "q": (-1.0, 0.0, 1.0)}),
+                      Sieve("avg", {"faithful": False,
+                                    "cuts": [-1, 3]}))),
+    )),
+}
+
+
+@pytest.mark.parametrize("name", list(PLANS_FLAT_ONLY))
+@pytest.mark.parametrize("int_domain", [True, False])
+def test_flat_only_ops_match_bucketed(name, int_domain):
+    from fruits_spark.engine.executor import plan_is_padded_ok
+
+    fplan = PLANS_FLAT_ONLY[name]
+    assert plan_is_flat(fplan)
+    assert not plan_is_padded_ok(fplan)
+    values, offsets = random_batch(int_domain=int_domain)
+    got = compute_features_flat(values, offsets, fplan)
+    expect = bucketed_features(values, offsets, fplan)
+    # plateaus-weighted scans and std's variance accumulate floats
+    # (different but equally-valid summation orders); avg on the int
+    # domain is integer-sum / integer-count and stays exact
+    np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-12)
+
+
 @pytest.mark.parametrize("name", list(PLANS))
 @pytest.mark.parametrize("int_domain", [True, False])
 def test_padded_matches_bucketed(name, int_domain):
