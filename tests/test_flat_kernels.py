@@ -220,6 +220,21 @@ def test_flat_handles_empty_and_tiny_segments():
     assert np.all(np.isfinite(got))
 
 
+@pytest.mark.parametrize("name", list(PLANS_FLAT_ONLY))
+def test_flat_only_ops_handle_empty_and_tiny_segments(name):
+    """Empty segments and lengths below nplateaus through the new flat
+    ops (plateaus step=0 -> all-ones -> nrm01 zeros; avg/std on empty
+    bands)."""
+    fplan = PLANS_FLAT_ONLY[name]
+    offsets = np.array([0, 0, 1, 3, 3, 10, 12], dtype=np.int64)
+    values = RNG.integers(0, 101, size=12).astype(np.float64)
+    got = compute_features_flat(values, offsets, fplan)
+    expect = bucketed_features(values, offsets, fplan)
+    ne = np.diff(offsets) > 0
+    np.testing.assert_allclose(got[ne], expect[ne], rtol=1e-9, atol=1e-12)
+    assert np.all(np.isfinite(got))
+
+
 def test_seg_primitives():
     seg = KF.Seg(np.array([0, 3, 3, 7]))
     x = np.array([1.0, 2, 3, 10, 20, 30, 40])
