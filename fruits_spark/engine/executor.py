@@ -276,8 +276,6 @@ def plan_is_flat(fplan: Pl.FruitPlan) -> bool:
                 continue
             if spec.semiring not in ("reals", "arctic", "bayesian"):
                 return False
-            if spec.argmax:  # index back-translation is bucketed-only
-                return False
             if spec.weighting not in (None, "indices", "l1", "l2",
                                       "plateaus"):
                 return False  # custom lookup callables are bucketed-only
@@ -301,10 +299,9 @@ def plan_is_padded_ok(fplan: Pl.FruitPlan) -> bool:
         if any(sv.kind in ("avg", "std") for sv in sl.sieves):
             return False
         for spec in sl.iss_chain():
-            if (
-                not isinstance(spec, Pl.CosWISSSpec)
-                and spec.weighting == "plateaus"
-            ):
+            if isinstance(spec, Pl.CosWISSSpec):
+                continue
+            if spec.weighting == "plateaus" or spec.argmax:
                 return False
     return True
 
@@ -401,6 +398,20 @@ def _emit_level_flat(seg, xp, spec, x_orig):
             )
             for wi, stream in enumerate(streams):
                 yield wi * n_freqs + fi, stream
+        return
+    if getattr(spec, "argmax", False):
+        lookup = _lookup_flat(spec, seg, xp, x_orig)
+        i = 0
+        for w in spec.words:
+            alpha = (
+                np.array(w.alpha, dtype=np.float32)
+                if spec.weighting is not None else None
+            )
+            for stream in KF.iss_arctic_argmax_flat(
+                seg, xp, w.matrix, alpha, lookup
+            ):
+                yield i, stream
+                i += 1
         return
     if spec.weighting is None:
         yield from _emit_level_flat_cse(seg, xp, spec)

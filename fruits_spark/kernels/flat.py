@@ -465,6 +465,68 @@ def iss_flat(
     return results
 
 
+def runmax_argmax_flat(seg: Seg, x: np.ndarray):
+    """Segmented running max plus the within-segment index of the last
+    strict improvement (ties keep the earlier index — the reference's
+    ``>=`` keep-branch, iss.py _runmax_argmax)."""
+    r = seg.runmax(x)
+    changed = np.zeros(seg.total, dtype=bool)
+    if seg.total:
+        changed[1:] = r[1:] > r[:-1]
+        changed[seg.offsets[:-1][seg.nonempty]] = True
+    upd = np.where(changed, seg.pos.astype(np.float64), -1.0)
+    return r, seg.runmax(upd)
+
+
+def iss_arctic_argmax_flat(
+    seg: Seg,
+    x: np.ndarray,
+    word: np.ndarray,
+    alpha: np.ndarray | None = None,
+    lookup: np.ndarray | None = None,
+) -> list[np.ndarray]:
+    """Univariate arctic ISS with argmax tracking on the flat layout:
+    same stream layout and values as :func:`..iss.iss_arctic_argmax`
+    (p value streams interleaved with p(p+1)/2 maximizing-index
+    streams, later letters freezing earlier letters' argmax streams at
+    the position their final argmax points to)."""
+    exps = np.asarray(word)[:, 0]
+    p = len(exps)
+    if lookup is None:
+        lookup = np.zeros(seg.total)
+        alpha = np.zeros(p, dtype=np.float32)
+    a = np.asarray(alpha, dtype=np.float32).astype(np.float64)
+    zeros = np.zeros(seg.total)
+    vals: list = [zeros] * p
+    idxs: list = [zeros] * p
+    tmp = np.zeros_like(x)
+    for k in range(p):
+        if not exps[k]:
+            continue  # bucketed parity: zero letters leave zero streams
+        tmp = tmp + float(exps[k]) * x
+        if k > 0:
+            tmp = tmp - lookup * a[k - 1]
+        vals[k], idxs[k] = runmax_argmax_flat(seg, tmp)
+        if k < p - 1:
+            tmp = seg.runmax(tmp + lookup * a[k])
+    n_out = p + p * (p + 1) // 2
+    out: list = [zeros] * n_out
+    for k in range(p - 1, -1, -1):
+        index = k + k * (k + 1) // 2
+        out[index] = vals[k]
+        out[index + k + 1] = idxs[k]
+        for s in range(k, 0, -1):
+            # freeze the earlier letter's argmax stream at the position
+            # the later letter's final argmax points to
+            c = seg.gather_last(out[index + s + 1]).astype(np.int64) + 1
+            prev = idxs[s - 1]
+            frozen = seg.gather_at(prev, np.maximum(c - 1, 0))
+            out[index + s] = np.where(
+                seg.pos < seg.broadcast(c), prev, seg.broadcast(frozen)
+            )
+    return out
+
+
 def coswiss_flat(
     seg: Seg,
     x: np.ndarray,

@@ -94,7 +94,9 @@ def test_argmax_through_plan_layer():
               sieves=(Sieve("end"),)),
     ))
     assert fplan.n_features() == 5  # 2 value + 3 index streams x END
-    assert not plan_is_flat(fplan)
+    # round 4: univariate argmax runs the flat hot path (flat ==
+    # bucketed pinned in test_flat_kernels)
+    assert plan_is_flat(fplan)
     labels = fplan.feature_labels()
     assert labels[0].startswith("[1]:arctic")
     X = RNG.random((4, 1, 15))

@@ -142,6 +142,17 @@ PLANS_FLAT_ONLY = {
                       Sieve("avg"),   # faithful=True -> CUR quirk
                       Sieve("std"))),
     )),
+    "arctic_argmax": FruitPlan((
+        Slice(iss=ISSSpec((W("[1][1]"),), semiring="arctic", argmax=True),
+              sieves=(Sieve("end"),)),
+    )),
+    "arctic_argmax_weighted": FruitPlan((
+        Slice(iss=ISSSpec((W("[1][1][1]"),), semiring="arctic",
+                          argmax=True, weighting="indices",
+                          weighting_params={"relative": True,
+                                            "scale": 1.0}),
+              sieves=(Sieve("end"), Sieve("max"))),
+    )),
     "avg_std_banded": FruitPlan((
         Slice(iss=ISSSpec((W("[1]"),)),
               sieves=(Sieve("avg", {"faithful": False,
