@@ -259,28 +259,51 @@ _FLAT_SIEVES = {
     "max", "min", "end", "cur", "npi", "mpi", "xpi", "lpi", "ppv", "cpv",
     "avg", "std",
 }
+_FLAT_WEIGHTINGS = (None, "indices", "l1", "l2", "plateaus", "custom")
 
 
-def plan_is_flat(fplan: Pl.FruitPlan) -> bool:
-    """True if every op has a flat segmented implementation (univariate
-    input assumed — the token-table case)."""
+def _prep_flat_ok(p: Pl.Prep) -> bool:
+    if p.kind in ("new", "dim"):
+        inner = p.params.get("prep")
+        return inner is None or _prep_flat_ok(inner)
+    return p.kind in _FLAT_PREPS
+
+
+def _prep_out_dims(p: Pl.Prep, d: int) -> int:
+    """Output dim count of a flat-capable prep (inc/std/nrm preserve,
+    NEW appends its inner's output, DIM reorders)."""
+    if p.kind == "new":
+        inner = p.params.get("prep")
+        return d + (_prep_out_dims(inner, d) if inner is not None else d)
+    if p.kind == "dim":
+        k = len(np.atleast_1d(np.asarray(p.params["dims"])))
+        return (d - k) + _prep_out_dims(p.params["prep"], k)
+    return d
+
+
+def plan_is_flat(fplan: Pl.FruitPlan, n_dims: int = 1) -> bool:
+    """True if every op has a flat segmented implementation for an
+    ``n_dims``-dimensional input.  Round 5: multivariate words, NEW/DIM
+    prep wrappers, and Custom weightings all run flat now — only
+    arctic-argmax streams on a multi-dim stage remain bucketed-only."""
     for sl in fplan.slices:
-        if any(p.kind not in _FLAT_PREPS for p in sl.preps):
+        if any(not _prep_flat_ok(p) for p in sl.preps):
             return False
         if any(sv.kind not in _FLAT_SIEVES for sv in sl.sieves):
             return False
-        for spec in sl.iss_chain():
+        d = n_dims
+        for p in sl.preps:
+            d = _prep_out_dims(p, d)
+        for level, spec in enumerate(sl.iss_chain()):
+            dims_here = d if level == 0 else 1  # chained streams are 1-D
             if isinstance(spec, Pl.CosWISSSpec):
-                if any(w.matrix.shape[1] > 1 for w in spec.words):
-                    return False
                 continue
             if spec.semiring not in ("reals", "arctic", "bayesian"):
                 return False
-            if spec.weighting not in (None, "indices", "l1", "l2",
-                                      "plateaus"):
-                return False  # custom lookup callables are bucketed-only
-            if any(w.matrix.shape[1] > 1 for w in spec.words):
+            if spec.weighting not in _FLAT_WEIGHTINGS:
                 return False
+            if getattr(spec, "argmax", False) and dims_here > 1:
+                return False  # mv argmax freeze logic: bucketed-only
     return True
 
 
@@ -298,41 +321,73 @@ def plan_is_padded_ok(fplan: Pl.FruitPlan) -> bool:
     for sl in fplan.slices:
         if any(sv.kind in ("avg", "std") for sv in sl.sieves):
             return False
+        if any(p.kind not in _FLAT_PREPS for p in sl.preps):
+            return False  # NEW/DIM (multivariate stages) are flat-only
         for spec in sl.iss_chain():
             if isinstance(spec, Pl.CosWISSSpec):
+                if any(w.matrix.shape[1] > 1 for w in spec.words):
+                    return False
                 continue
-            if spec.weighting == "plateaus" or spec.argmax:
+            if spec.weighting in ("plateaus", "custom") or spec.argmax:
+                return False
+            if any(w.matrix.shape[1] > 1 for w in spec.words):
                 return False
     return True
 
 
+def _apply_prep_flat(seg, cols: list, p: Pl.Prep) -> list:
+    """Flat prep on a per-dimension column list -> new column list.
+    Per-dim ops map column-wise (identical calls to the univariate flat
+    path); NEW/DIM wrappers manipulate the list like the bucketed
+    ``new_wrap``/``dim_wrap`` manipulate axis 1."""
+    from ..kernels import flat as KF
+
+    if p.kind == "new":
+        inner = p.params.get("prep")
+        extra = cols if inner is None else _apply_prep_flat(seg, cols, inner)
+        return list(cols) + list(extra)
+    if p.kind == "dim":
+        dims = np.atleast_1d(np.asarray(p.params["dims"], dtype=np.int64))
+        transformed = _apply_prep_flat(
+            seg, [cols[i] for i in dims], p.params["prep"]
+        )
+        rest = [c for i, c in enumerate(cols) if i not in set(dims.tolist())]
+        return rest + list(transformed)
+    if p.kind == "nrm":
+        return KF.nrm_flat_mv(seg, cols, **p.params)
+    fn = {"inc": KF.inc_flat, "std": KF.std_flat}[p.kind]
+    return [fn(seg, c, **p.params) for c in cols]
+
+
 def compute_features_flat(
-    values: np.ndarray, offsets: np.ndarray, fplan: Pl.FruitPlan
+    values, offsets: np.ndarray, fplan: Pl.FruitPlan
 ) -> np.ndarray:
     """Whole-batch feature computation on the flat layout: one set of
     segmented array ops per operator, independent of length diversity
-    (the 100 TB hot path)."""
+    (the 100 TB hot path).  ``values`` is one flat float64 array
+    (univariate) or a list of per-dimension flat arrays sharing
+    ``offsets`` (multivariate)."""
     from ..kernels import flat as KF
 
     seg = KF.Seg(offsets)
+    in_cols = values if isinstance(values, list) else [values]
+    src0 = in_cols[0]  # coquantile cuts / L-mass use dim 0 (cache.py:25-40)
     out = np.empty((seg.n, fplan.n_features()), dtype=np.float64)
     col = 0
     for sl in fplan.slices:
-        xp = values
+        cols = in_cols
         for p in sl.preps:
-            fn = {"inc": KF.inc_flat, "std": KF.std_flat, "nrm": KF.nrm_flat}[
-                p.kind
-            ]
-            xp = fn(seg, xp, **p.params)
+            cols = _apply_prep_flat(seg, cols, p)
+        xp = cols if len(cols) > 1 else cols[0]
         # streams may arrive in trie order; widths are fixed per stream,
         # so each one writes at its plan-order column offset
         sieve_widths = [sv.n_features() for sv in sl.sieves]
         per_stream = sum(sieve_widths)
         seen = 0
-        for si, stream in _emit_streams_flat(seg, xp, sl.iss_chain(), values):
+        for si, stream in _emit_streams_flat(seg, xp, sl.iss_chain(), in_cols):
             c = col + si * per_stream
             for sv, w_ in zip(sl.sieves, sieve_widths):
-                feats = _apply_sieve_flat(seg, stream, sv, values, si)
+                feats = _apply_sieve_flat(seg, stream, sv, src0, si)
                 out[:, c:c + w_] = feats
                 c += w_
             seen += 1
@@ -346,22 +401,34 @@ def compute_features_flat(
     return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
 
 
-def _lookup_flat(spec: Pl.ISSSpec, seg, xp, x_orig):
+def _lookup_flat(spec: Pl.ISSSpec, seg, xp, orig_cols):
+    """Weighting lookup on the flat layout.  ``xp`` is the ISS input
+    (flat array or column list), ``orig_cols`` the slice's original
+    input columns; L1/L2 read dim 0 of the base like the bucketed
+    ``l1_lookup`` (iss.py: ``X[:, 0:1, :]``), Custom callables get the
+    full base re-bucketed into the (n, d, l) blocks they expect."""
     from ..kernels import flat as KF
 
     if spec.weighting is None:
         return None
     wp = dict(spec.weighting_params)
     on_prepared = wp.pop("on_prepared", False)
-    base = xp if on_prepared else x_orig
+    base_cols = (
+        (xp if isinstance(xp, list) else [xp]) if on_prepared else orig_cols
+    )
     if spec.weighting == "indices":
         return KF.indices_lookup_flat(seg, **wp)
     if spec.weighting == "l1":
-        return KF.l1_lookup_flat(seg, base, **wp)
+        return KF.l1_lookup_flat(seg, base_cols[0], **wp)
     if spec.weighting == "l2":
-        return KF.l2_lookup_flat(seg, base, **wp)
+        return KF.l2_lookup_flat(seg, base_cols[0], **wp)
     if spec.weighting == "plateaus":
         return KF.plateaus_lookup_flat(seg, **wp)
+    if spec.weighting == "custom":
+        # reference Custom weighting (weighting.py:41-66): arbitrary
+        # g(X) on 3-D blocks — re-bucket by length (same grouping as
+        # the bucketed executor, so values match it exactly)
+        return KF.bucketed_rows_map(seg, base_cols, wp["fn"])
     raise ValueError(spec.weighting)
 
 
@@ -386,20 +453,31 @@ def _emit_streams_flat(seg, xp: np.ndarray, specs: tuple, x_orig: np.ndarray):
 def _emit_level_flat(seg, xp, spec, x_orig):
     from ..kernels import flat as KF
 
+    if isinstance(xp, list) and len(xp) == 1:
+        xp = xp[0]
+    mv = isinstance(xp, list)
     if isinstance(spec, Pl.CosWISSSpec):
         # cross-word CSE per frequency (bit-identical; see
         # KF.coswiss_flat_multi); the flat emitter yields explicit
         # stream indices, so per-freq batches emit directly
         n_freqs = len(spec.freqs)
         for fi, f in enumerate(spec.freqs):
-            streams = KF.coswiss_flat_multi(
-                seg, xp, [w.matrix for w in spec.words], f,
-                exponent=spec.exponent, total=spec.total,
-            )
+            if mv:
+                streams = KF.coswiss_flat_multi_mv(
+                    seg, xp, [w.matrix for w in spec.words], f,
+                    exponent=spec.exponent, total=spec.total,
+                )
+            else:
+                streams = KF.coswiss_flat_multi(
+                    seg, xp, [w.matrix for w in spec.words], f,
+                    exponent=spec.exponent, total=spec.total,
+                )
             for wi, stream in enumerate(streams):
                 yield wi * n_freqs + fi, stream
         return
     if getattr(spec, "argmax", False):
+        if mv:  # plan_is_flat gates this off; belt-and-braces
+            raise ValueError("multivariate argmax streams are bucketed-only")
         lookup = _lookup_flat(spec, seg, xp, x_orig)
         i = 0
         for w in spec.words:
@@ -424,10 +502,16 @@ def _emit_level_flat(seg, xp, spec, x_orig):
         if depth == 0:
             continue
         alpha = np.array(w.alpha, dtype=np.float32)
-        streams = KF.iss_flat(
-            seg, xp, w.matrix, extended=depth, semiring=spec.semiring,
-            alpha=alpha, lookup=lookup, total=spec.total,
-        )
+        if mv:
+            streams = KF.iss_flat_mv(
+                seg, xp, w.matrix, extended=depth, semiring=spec.semiring,
+                alpha=alpha, lookup=lookup, total=spec.total,
+            )
+        else:
+            streams = KF.iss_flat(
+                seg, xp, w.matrix, extended=depth, semiring=spec.semiring,
+                alpha=alpha, lookup=lookup, total=spec.total,
+            )
         for stream in streams:
             yield i, stream
             i += 1
@@ -464,8 +548,26 @@ def _emit_level_flat_cse(seg, xp, spec):
             children.setdefault(nxt, [])
 
     semiring = spec.semiring
+    cols = xp if isinstance(xp, list) else None
 
     def advance(state, letter):
+        if cols is not None:
+            # multivariate letter: monomial over the column list in
+            # bucketed _pow_product / _linear_combo op order
+            if semiring == "reals":
+                if state is None:
+                    tmp = KF._mul_letter_nd(None, cols, letter)
+                else:
+                    tmp = KF._mul_letter_nd_owned(
+                        seg.shift1(state), cols, letter
+                    )
+                return seg.cumsum(tmp)
+            if semiring == "arctic":
+                tmp = (
+                    state if state is not None else 0.0
+                ) + KF._lin_combo_nd(cols, letter)
+                return seg.runmax(tmp)
+            return seg.runmax(KF._mul_letter_nd(state, cols, letter))
         e = letter[0] if letter else 0
         if semiring == "reals":
             if state is None:
@@ -785,6 +887,39 @@ def extract_features(
         os.environ.get("SPARK_GRAFT_TOKEN_BUDGET", "200000")
     )
 
+    def _mv_flat_sub_batches(pdf, rows, lengths, n_dims):
+        """Token-budget sub-batching for the mv flat path (budget counts
+        POINTS = tokens * dims so the kernel working set stays constant
+        regardless of dim count)."""
+        pts = lengths * n_dims
+        cum = np.cumsum(pts)
+        start, base = 0, 0
+        for i in range(len(rows)):
+            if cum[i] - base > mv_token_budget and i > start:
+                yield pdf.iloc[start:i], rows[start:i]
+                start, base = i, cum[i - 1]
+        if start < len(rows):
+            yield pdf.iloc[start:], rows[start:]
+
+    def _run_mv_flat(pdf, rows, lengths, n_dims):
+        from ..kernels.segments import flatten_lists_mv
+
+        for sub_pdf, sub_rows in _mv_flat_sub_batches(
+            pdf, rows, lengths, n_dims
+        ):
+            cols, offsets = flatten_lists_mv(sub_rows)
+            if cast_scale is not None:
+                for c in cols:
+                    c *= cast_scale
+            feats = compute_features_flat(cols, offsets, fplan)
+            yield pd.concat(
+                [
+                    sub_pdf[list(keep)].reset_index(drop=True),
+                    pd.DataFrame(feats, columns=fcols, copy=False),
+                ],
+                axis=1,
+            )
+
     def run_multivariate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -794,6 +929,16 @@ def extract_features(
                 (len(r[0]) if len(r) else 0 for r in rows),
                 dtype=np.int64, count=len(rows),
             )
+            ndims = {len(r) for r in rows if len(r)}
+            if len(ndims) == 1:
+                n_dims = ndims.pop()
+                if plan_is_flat(fplan, n_dims):
+                    if stats is not None:
+                        stats.batches.add(1)
+                        stats.rows.add(len(pdf))
+                        stats.tokens.add(int(lengths.sum()))
+                    yield from _run_mv_flat(pdf, rows, lengths, n_dims)
+                    continue
             if stats is not None:
                 stats.batches.add(1)
                 stats.rows.add(len(pdf))

@@ -252,6 +252,48 @@ def nrm_flat(seg: Seg, x: np.ndarray) -> np.ndarray:
     return np.where(seg.broadcast(span) == 0, 0.0, out)
 
 
+def nrm_flat_mv(seg: Seg, cols, scale_dim: bool = False) -> list:
+    """Per-dimension NRM over a column list; ``scale_dim=True`` shares
+    one min/max across all dims per series (prep.py nrm axis=(1,2))."""
+    if not scale_dim or len(cols) == 1:
+        return [nrm_flat(seg, c) for c in cols]
+    lo = seg._reduceat(np.minimum, cols[0], 0.0)
+    hi = seg._reduceat(np.maximum, cols[0], 0.0)
+    for c in cols[1:]:
+        lo = np.minimum(lo, seg._reduceat(np.minimum, c, 0.0))
+        hi = np.maximum(hi, seg._reduceat(np.maximum, c, 0.0))
+    span = hi - lo
+    safe = np.where(span == 0, 1.0, span)
+    blo, bsafe = seg.broadcast(lo), seg.broadcast(safe)
+    zero = seg.broadcast(span) == 0
+    return [np.where(zero, 0.0, (c - blo) / bsafe) for c in cols]
+
+
+def bucketed_rows_map(seg: Seg, cols, fn) -> np.ndarray:
+    """Run a 3-D-block callable over a flat batch: rows are grouped by
+    length, ``fn`` gets each group as (n_group, d, l) and must return
+    (n_group, l); results scatter back to one flat (total,) array.
+
+    Escape hatch for per-batch tables the flat layout can't express
+    directly (e.g. a reference Custom weighting ``g(X)``,
+    weighting.py:41-66) — identical grouping to the bucketed executor
+    path, so results match it exactly.  Zero-length rows contribute
+    nothing."""
+    out = np.zeros(seg.total, dtype=np.float64)
+    for ln in np.unique(seg.lengths):
+        if ln == 0:
+            continue
+        rows = np.nonzero(seg.lengths == ln)[0]
+        gather = (
+            seg.offsets[rows][:, None] + np.arange(int(ln))[None, :]
+        ).ravel()
+        Z = np.stack(
+            [c[gather].reshape(len(rows), int(ln)) for c in cols], axis=1
+        )
+        out[gather] = np.asarray(fn(Z), dtype=np.float64).ravel()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # weighting lookups + coquantiles
 # ---------------------------------------------------------------------------
@@ -378,6 +420,54 @@ def _mul_letter_owned(tmp: np.ndarray, x: np.ndarray, e: int) -> np.ndarray:
     return tmp
 
 
+# --- multivariate letters: cols = one flat array per dimension -------------
+
+def _mul_letter_nd(tmp: np.ndarray | None, cols, exps) -> np.ndarray:
+    """tmp * prod_d cols[d]**exps[d] with ``tmp=None`` the multiplicative
+    identity.  Exponents apply as repeated multiply/divide in dimension
+    order — the exact op order of the bucketed ``_pow_product``
+    (iss.py:46-58, reference semiring.py:111-117); since the bucketed
+    kernels seed with exact ones, dropping the leading ``1.0 *`` is
+    bit-neutral."""
+    for dim, e in enumerate(exps):
+        e = int(e)
+        if e > 0:
+            for _ in range(e):
+                tmp = cols[dim] if tmp is None else tmp * cols[dim]
+        elif e < 0:
+            if tmp is None:
+                tmp = np.ones_like(cols[dim])
+            for _ in range(-e):
+                tmp = tmp / cols[dim]
+    if tmp is None:
+        return np.ones_like(cols[0])
+    return tmp
+
+
+def _mul_letter_nd_owned(tmp: np.ndarray, cols, exps) -> np.ndarray:
+    """In-place :func:`_mul_letter_nd` for a caller-owned ``tmp``."""
+    for dim, e in enumerate(exps):
+        e = int(e)
+        if e > 0:
+            for _ in range(e):
+                np.multiply(tmp, cols[dim], out=tmp)
+        elif e < 0:
+            for _ in range(-e):
+                np.divide(tmp, cols[dim], out=tmp)
+    return tmp
+
+
+def _lin_combo_nd(cols, exps) -> np.ndarray:
+    """sum_d exps[d] * cols[d] (arctic letter), accumulation order and
+    zero-seed identical to the bucketed ``_linear_combo`` (iss.py:62-67)."""
+    out = np.zeros_like(cols[0])
+    for dim, e in enumerate(exps):
+        e = int(e)
+        if e != 0:
+            out = out + float(e) * cols[dim]
+    return out
+
+
 def iss_flat(
     seg: Seg,
     x: np.ndarray,
@@ -451,6 +541,101 @@ def iss_flat(
         tmp = np.ones_like(x)
         for k in range(k_total):
             tmp = tmp * _pow1(x, exps[k])
+            if weighted and k > 0:
+                tmp = tmp * np.exp(-lookup * a[k - 1])
+            if k_total - k <= extended:
+                results.append(seg.runmax(tmp))
+            if k < k_total - 1:
+                if weighted:
+                    tmp = seg.runmax(tmp * np.exp(lookup * a[k]))
+                else:
+                    tmp = seg.runmax(tmp)
+    else:
+        raise ValueError(semiring)
+    return results
+
+
+def iss_flat_mv(
+    seg: Seg,
+    cols,
+    word: np.ndarray,
+    extended: int = 1,
+    semiring: str = "reals",
+    alpha: np.ndarray | None = None,
+    lookup: np.ndarray | None = None,
+    total: bool = False,
+) -> list[np.ndarray]:
+    """Multivariate ISS on a flat batch: ``cols`` is one flat float64
+    array per input dimension (shared ``seg`` geometry), ``word`` a
+    (letters, dims) exponent matrix.  Same recurrences as
+    :func:`fruits_spark.kernels.iss.iss` on (n, d, l) blocks — the only
+    dimension-aware ops are the per-letter monomials
+    (:func:`_mul_letter_nd`) and arctic linear combinations
+    (:func:`_lin_combo_nd`), both in bucketed op order."""
+    word = np.asarray(word)
+    if word.shape[1] > len(cols):
+        raise ValueError(
+            f"word uses dim {word.shape[1]} but input has {len(cols)}"
+        )
+    k_total = word.shape[0]
+    weighted = lookup is not None
+    if weighted:
+        a = np.asarray(
+            alpha if alpha is not None else np.ones(k_total), dtype=np.float32
+        ).astype(np.float64)
+    results: list[np.ndarray] = []
+
+    if semiring == "reals":
+        if weighted and total:
+            tmp = None
+            for k in range(k_total):
+                tmp = _mul_letter_nd(tmp, cols, word[k])
+                tmp = seg.cumsum(tmp * np.exp(lookup * a[k]))
+                if k_total - k <= extended:
+                    results.append(tmp * np.exp(-lookup * a[k]))
+                if k < k_total - 1:
+                    tmp = seg.shift1(tmp) * np.exp(-lookup * a[k])
+        else:
+            tmp = None
+            for k in range(k_total):
+                if k > 0:
+                    tmp = seg.shift1(tmp)
+                tmp = _mul_letter_nd(tmp, cols, word[k])
+                if weighted and k > 0:
+                    tmp = tmp * np.exp(-lookup * a[k - 1])
+                if k_total - k <= extended:
+                    results.append(seg.cumsum(tmp))
+                if k < k_total - 1:
+                    if weighted:
+                        tmp = seg.cumsum(tmp * np.exp(lookup * a[k]))
+                    else:
+                        tmp = seg.cumsum(tmp)
+    elif semiring == "arctic":
+        tmp = np.zeros_like(cols[0])
+        if weighted and total:
+            for k in range(k_total):
+                tmp = tmp + _lin_combo_nd(cols, word[k])
+                tmp = seg.runmax(tmp + lookup * a[k])
+                if k_total - k <= extended:
+                    results.append(tmp - lookup * a[k])
+                if k < k_total - 1:
+                    tmp = tmp - lookup * a[k]
+        else:
+            for k in range(k_total):
+                tmp = tmp + _lin_combo_nd(cols, word[k])
+                if weighted and k > 0:
+                    tmp = tmp - lookup * a[k - 1]
+                if k_total - k <= extended:
+                    results.append(seg.runmax(tmp))
+                if k < k_total - 1:
+                    if weighted:
+                        tmp = seg.runmax(tmp + lookup * a[k])
+                    else:
+                        tmp = seg.runmax(tmp)
+    elif semiring == "bayesian":
+        tmp: np.ndarray | None = np.ones_like(cols[0])
+        for k in range(k_total):
+            tmp = _mul_letter_nd(tmp, cols, word[k])
             if weighted and k > 0:
                 tmp = tmp * np.exp(-lookup * a[k - 1])
             if k_total - k <= extended:
@@ -659,6 +844,86 @@ def coswiss_flat_multi(
                         dfs(child, st, coeff * comb(exponent, c), c)
 
     dfs((), np.ones_like(x), 1, 0)
+    return results
+
+
+def coswiss_flat_multi_mv(
+    seg: Seg,
+    cols,
+    words,
+    freq: float,
+    exponent: int = 2,
+    total: bool = False,
+) -> list[np.ndarray]:
+    """Multivariate flat-layout CosWISS with cross-word CSE (mirror of
+    ``iss.coswiss_multi`` on a column list): trie keys are full letter
+    tuples trimmed of trailing zero exponents, so words declared over
+    fewer dims than the input share streams exactly as the bucketed
+    kernel's zero-padding makes them."""
+    from math import comb
+
+    f32 = float(np.float32(freq))
+    denom = f32 * np.maximum(seg.lengths - 1, 1).astype(np.float64)
+    g = np.pi * seg.pos / seg.broadcast(denom)
+    sin_w, cos_w = np.sin(g), np.cos(g)
+
+    def trim(row):
+        t = tuple(int(e) for e in row)
+        while t and t[-1] == 0:
+            t = t[:-1]
+        return t
+
+    letter_seqs = [
+        tuple(trim(row) for row in np.asarray(w)) for w in words
+    ]
+    children: dict[tuple, list] = {(): []}
+    ends: dict[tuple, list] = {}
+    for wi, ls in enumerate(letter_seqs):
+        for j in range(len(ls)):
+            node, nxt = ls[:j], ls[:j + 1]
+            kids = children.setdefault(node, [])
+            if nxt not in kids:
+                kids.append(nxt)
+            children.setdefault(nxt, [])
+        ends.setdefault(ls, []).append(wi)
+    results = [np.zeros_like(cols[0]) for _ in words]
+
+    def step(state, letter, k, sin_e, cos_e):
+        tmp = seg.shift1(state) if k > 0 else state
+        tmp = _mul_letter_nd(tmp, cols, letter)
+        for _ in range(sin_e):
+            tmp = tmp * sin_w
+        for _ in range(cos_e):
+            tmp = tmp * cos_w
+        return seg.cumsum(tmp)
+
+    def dfs(node, state, coeff, prev):
+        k = len(node)
+        right_sin = (exponent - prev) if k > 0 else 0
+        right_cos = prev if k > 0 else 0
+        for child in children[node]:
+            letter = child[-1]
+            wis = ends.get(child, ())
+            if wis and not total:
+                st = step(state, letter, k, right_sin, right_cos)
+                for wi in wis:
+                    results[wi] += coeff * st
+            if children[child] or (wis and total):
+                for c in range(exponent + 1):
+                    st = step(state, letter, k,
+                              right_sin + (exponent - c), right_cos + c)
+                    if wis and total:
+                        tmp = st
+                        for _ in range(exponent - c):
+                            tmp = tmp * sin_w
+                        for _ in range(c):
+                            tmp = tmp * cos_w
+                        for wi in wis:
+                            results[wi] += (coeff * comb(exponent, c)) * tmp
+                    if children[child]:
+                        dfs(child, st, coeff * comb(exponent, c), c)
+
+    dfs((), np.ones_like(cols[0]), 1, 0)
     return results
 
 

@@ -31,6 +31,30 @@ def flatten_lists(col) -> tuple[np.ndarray, np.ndarray]:
     return values, offsets
 
 
+def flatten_lists_mv(rows) -> tuple[list, np.ndarray] | tuple[None, None]:
+    """Sequence of (dims, length) nested rows -> (per-dim flat columns,
+    offsets).  All non-empty rows must agree on the dim count; returns
+    (None, None) when they don't (caller falls back to the bucketed
+    path).  Empty rows (0 dims or 0 steps) become empty segments."""
+    n = len(rows)
+    ndims = {len(r) for r in rows if len(r)}
+    if len(ndims) != 1:
+        return None, None
+    d = ndims.pop()
+    lengths = np.fromiter(
+        (len(r[0]) if len(r) else 0 for r in rows), dtype=np.int64, count=n
+    )
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    cols = [np.empty(offsets[-1], dtype=np.float64) for _ in range(d)]
+    for i, r in enumerate(rows):
+        s, e = offsets[i], offsets[i + 1]
+        if e > s:
+            for dim in range(d):
+                cols[dim][s:e] = r[dim]
+    return cols, offsets
+
+
 def run_bucketed(
     values: np.ndarray,
     offsets: np.ndarray,

@@ -265,13 +265,19 @@ def test_custom_weighting_and_letter_registry():
                           weighting_params={"fn": gfn}),
               sieves=(Sieve("end"),)),
     ))
-    assert not plan_is_flat(fplan)
+    assert plan_is_flat(fplan)  # round 5: custom lookups run flat too
     feats = compute_features_block(X, fplan)
     # manual: same kernel with the custom lookup
     lookup = gfn(X)
     expect = K.iss(X, W("[1][1]").matrix, extended=1,
                    alpha=np.ones(2), lookup=lookup, total=False)[:, 0, -1]
     np.testing.assert_allclose(feats[:, 0], expect, rtol=1e-12)
+    # flat path matches the bucketed path on the same rows
+    from fruits_spark.engine.executor import compute_features_flat
+
+    offsets = np.arange(0, 5 * 20 + 1, 20, dtype=np.int64)
+    flat_feats = compute_features_flat(X[:, 0, :].ravel(), offsets, fplan)
+    np.testing.assert_allclose(flat_feats, feats, rtol=1e-9, atol=1e-12)
 
     register_letter("SQ", lambda Z, d: Z[:, d, :] ** 2)
     try:

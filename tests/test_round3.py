@@ -63,7 +63,12 @@ def test_retire_runs_concurrent_serialize(spark, tmp_path):
 def test_multivariate_block_chunking_matches_unchunked(spark, monkeypatch):
     """A tiny token budget forces run_multivariate to chunk each
     per-length block (bounding CosWISS stream buffering for foreign
-    sessions with big Arrow batches); features must be identical."""
+    sessions with big Arrow batches); features must be identical.
+
+    argmax=True keeps this plan on the BUCKETED mv path (the round-5
+    flat mv path would otherwise claim it; its float carry rounding is
+    chunk-boundary-dependent and covered by its own integer-domain
+    chunking test in test_flat_multivariate)."""
     rng = np.random.default_rng(7)
     rows = [
         (i, rng.normal(size=(2, 13)).tolist(), "s", 13) for i in range(9)
@@ -75,11 +80,13 @@ def test_multivariate_block_chunking_matches_unchunked(spark, monkeypatch):
     fplan = FruitPlan(
         (
             Slice(
-                iss=ISSSpec((W("[1]"), W("[12]"), W("[1][2]"))),
+                iss=ISSSpec((W("[1]"), W("[12]"), W("[1][2]")),
+                            semiring="arctic", argmax=True),
                 sieves=(Sieve("end"), Sieve("max")),
             ),
         )
     )
+    assert not EX.plan_is_flat(fplan, n_dims=2)
     fcols = EX.feature_columns(fplan)
 
     def run():
