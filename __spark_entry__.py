@@ -3388,6 +3388,42 @@ def q_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"max_{fc[0]}").cast("long").alias("max_end_1"),
         )
         out = out.unionByName(routed)
+    # ROUTED-READ JOB surface (rollup.route_query_cells — the exact
+    # plan jobs/route_query.py serves): two runs PARTITION the corpus
+    # (doc parity), one run's cells are appended TWICE (the
+    # at-least-once data/manifest crash window commit_cells leaves),
+    # and the routed per-source totals over [5,53) must still equal the
+    # single-run direct recompute — any failure of the cell-key dedupe
+    # or of cross-run aggregation fails the hash.  Sentinel bucket=-6.
+    run_fines = []
+    run_coarses = []
+    for run_id, par in (("rA", 0), ("rB", 1)):
+        rf = RU.rollup_tier(
+            feats.where(F.col("doc_id") % 2 == par),
+            RU.Tier("t1k", 1000), 64, fc,
+            bucket_expr=(F.col("doc_id") % 64).cast("int"),
+        ).withColumn("run", F.lit(run_id))
+        run_fines.append(rf)
+        run_coarses.append(
+            RU.reagg_tier(
+                rf, fc, bucket_expr=F.floor(F.col("bucket") / 8).cast("int")
+            ).withColumn("run", F.lit(run_id))
+        )
+    fine_mr = run_fines[0].unionByName(run_fines[1]).unionByName(
+        run_fines[0]  # rA's data rows re-appended (byte-identical)
+    )
+    coarse_mr = run_coarses[0].unionByName(run_coarses[1]).unionByName(
+        run_coarses[1]
+    )
+    job_routed = RU.route_query_cells(fine_mr, coarse_mr, 8, 5, 53, fc).select(
+        "source",
+        F.lit(-6).cast("int").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sum_tok").cast("long").alias("sum_tok"),
+        F.col(f"sum_{fc[0]}").cast("long").alias("sum_end_1"),
+        F.col(f"max_{fc[0]}").cast("long").alias("max_end_1"),
+    )
+    out = out.unionByName(job_routed)
     # FRESH range query (rollup.route_range_realtime): the same kind of
     # range answered against a PARTIALLY MATERIALIZED tier — cells
     # committed only up to a per-source watermark (deliberately different
@@ -3453,6 +3489,14 @@ SELECT source, CAST(-2 AS INT) AS bucket,
        CAST(SUM(e1) AS BIGINT) AS sum_end_1,
        CAST(MAX(e1) AS BIGINT) AS max_end_1
 FROM per_doc WHERE fb >= 17 AND fb < 21
+GROUP BY source
+UNION ALL
+SELECT source, CAST(-6 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(e1) AS BIGINT) AS sum_end_1,
+       CAST(MAX(e1) AS BIGINT) AS max_end_1
+FROM per_doc WHERE fb >= 5 AND fb < 53
 GROUP BY source
 UNION ALL
 SELECT source, CAST(-3 AS INT) AS bucket,

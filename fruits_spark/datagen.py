@@ -117,3 +117,102 @@ def generate_pandas_range(lo: int, hi: int, n_docs: int, seed: int = 42, **kw):
             "source": [f"src{s}" for s in src_id],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# multisine: controlled-waveform synthetic for parity sweeps over known
+# spectra (reference: experiments/corbeille/corbeille/data.py:25-123)
+# ---------------------------------------------------------------------------
+
+def multisine_sizes(total: int, n_classes: int) -> list[int]:
+    """Per-class example counts with the reference's remainder layout
+    (data.py:70-81: leftover examples go to classes remain % n_classes,
+    counting the remainder down)."""
+    per = total // n_classes
+    sizes = [per] * n_classes
+    remain = total - per * n_classes
+    while remain > 0:
+        sizes[remain % n_classes] += 1
+        remain -= 1
+    return sizes
+
+
+def multisine_models(
+    length: int = 100,
+    n_classes: int = 2,
+    used_sines: int = 3,
+    coefficients: np.ndarray | None = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Class model curves ``(n_classes, length)``: sum_i a_i *
+    sin(f_i * x + p_i) over x = linspace(0, 2*pi, length), coefficients
+    ``(n_classes, used_sines, 3)`` = [amplitude, frequency, phaseshift]
+    drawn uniform [0, 2) when not given (reference defaults)."""
+    if coefficients is None:
+        rng = np.random.default_rng(seed)
+        coefficients = 2 * rng.random((n_classes, used_sines, 3))
+    coefficients = np.asarray(coefficients, dtype=np.float64)
+    x = np.linspace(0, 2 * np.pi, num=length)
+    a = coefficients[:, :, 0][:, :, None]
+    f = coefficients[:, :, 1][:, :, None]
+    p = coefficients[:, :, 2][:, :, None]
+    return (a * np.sin(f * x[None, None, :] + p)).sum(axis=1)
+
+
+def multisine_spark(
+    spark,
+    n_rows: int = 100,
+    length: int = 100,
+    n_classes: int = 2,
+    used_sines: int = 3,
+    coefficients: np.ndarray | None = None,
+    noise_std: float = 0.5,
+    seed: int = 0,
+):
+    """One multisine split as a DataFrame ``(doc_id long, label int,
+    tokens array<double>, n_tok int)`` — generate train and test by
+    calling twice with different ``seed``.
+
+    Spark-first: the class models (tiny: n_classes x length doubles)
+    inline as array literals; the per-(row, position) Gaussian noise is
+    a hash -> Box-Muller projection evaluated JVM-side, so the table
+    never exists on the driver, any slice is reproducible in isolation,
+    and the values are independent of partitioning (unlike F.randn).
+    Class labels follow the reference's contiguous block layout
+    (:func:`multisine_sizes`)."""
+    from pyspark.sql import functions as F
+
+    models = multisine_models(length, n_classes, used_sines,
+                              coefficients, seed)
+    sizes = multisine_sizes(n_rows, n_classes)
+    bounds = np.cumsum(sizes)
+    label_case = "CASE " + " ".join(
+        f"WHEN id < {int(b)} THEN {i}" for i, b in enumerate(bounds)
+    ) + " END"
+    model_arr = (
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{v!r}d" for v in row) + ")"
+            for row in models
+        ) + ")"
+    )
+    if noise_std > 0:
+        # Box-Muller on two xxhash64-derived uniforms in (0, 1)
+        u = (
+            "((pmod(xxhash64({salt}, id, j, {seed}), 16777216) + 0.5d)"
+            " / 16777216.0d)"
+        )
+        noise = (
+            f"{noise_std!r}d * sqrt(-2.0d * ln({u.format(salt=1, seed=seed)}))"
+            f" * cos(2.0d * pi() * {u.format(salt=2, seed=seed)})"
+        )
+    else:
+        noise = "0.0d"
+    return spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.expr(label_case).cast("int").alias("label"),
+        F.expr(
+            f"transform(sequence(0, {length - 1}), j -> "
+            f"element_at({model_arr}, {label_case} + 1)[j] + {noise})"
+        ).alias("tokens"),
+        F.lit(length).cast("int").alias("n_tok"),
+    )

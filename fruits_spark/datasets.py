@@ -119,6 +119,11 @@ def read_ucr_dir(spark: SparkSession, path: str,
 # UEA relational .arff (multivariate)
 # ---------------------------------------------------------------------------
 
+#: driver-side parse cap for read_uea_arff (the largest UEA archive
+#: files are ~100 MB; 300 MB of text ~ a few GB of Python lists)
+ARFF_MAX_BYTES = 300 * 1024 * 1024
+
+
 def parse_arff_relational(text: str):
     """Minimal parser for the UEA multivariate ``.arff`` layout: one
     relational attribute holding the (dims x steps) series (dimensions
@@ -170,7 +175,20 @@ def read_uea_arff(
     ``label_map`` assigns integer ids by FIRST APPEARANCE order and is
     extended in place across calls — pass the train split's map into
     the test read to reproduce the reference's train-then-test label
-    numbering (data.py:238-252)."""
+    numbering (data.py:238-252).
+
+    The parse is DRIVER-SIDE by design (stateful UEA header grammar
+    over MB-scale archive files); a size guard refuses anything that
+    would balloon driver memory — repartition+distribute is the wrong
+    fix for a format whose real archives top out ~100 MB."""
+    sz = os.path.getsize(file)
+    if sz > ARFF_MAX_BYTES:
+        raise ValueError(
+            f"{file} is {sz / 1e6:.0f} MB — parse_arff_relational is "
+            f"driver-side and capped at {ARFF_MAX_BYTES / 1e6:.0f} MB; "
+            "real UEA archives are well under this. Raise ARFF_MAX_BYTES "
+            "only if the driver has the memory."
+        )
     with open(file, encoding="utf8") as f:
         series, labels = parse_arff_relational(f.read())
     if label_map is None:

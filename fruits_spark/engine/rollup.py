@@ -462,6 +462,41 @@ def route_range_realtime(
     return _sql_agg(merged, ["source"], reagg_exprs(feature_cols))
 
 
+def route_query_cells(
+    fine: DataFrame,
+    coarse: DataFrame,
+    factor: int,
+    lo: int,
+    hi: int,
+    feature_cols: list[str],
+) -> DataFrame:
+    """The spark-submit READ surface's exact plan
+    (``jobs/route_query.py``), as a library function so the job and the
+    correctness gate share one implementation:
+
+    * dedupe at-least-once data rows on the cell key ``(run, source,
+      bucket)`` — ``commit_cells`` appends data before manifest, so a
+      crash + ``--resume`` can re-append byte-identical cells;
+    * refuse to answer if the two tiers hold different run sets (a
+      half-retired hierarchy would double- or under-count);
+    * aggregate cells from every live run together via
+      :func:`route_range` (runs partition the corpus and the payload is
+      algebraic, so cross-run merge is exact).
+
+    Inputs must carry a string ``run`` column (the job casts the
+    partition value)."""
+    fine = fine.dropDuplicates(["run", "source", "bucket"])
+    coarse = coarse.dropDuplicates(["run", "source", "bucket"])
+    runs_f = {r.run for r in fine.select("run").distinct().collect()}
+    runs_c = {r.run for r in coarse.select("run").distinct().collect()}
+    if runs_f != runs_c:
+        raise ValueError(
+            f"tier run sets differ: t_fine={sorted(runs_f)} "
+            f"t_coarse={sorted(runs_c)}"
+        )
+    return route_range(fine, coarse, factor, lo, hi, feature_cols)
+
+
 def retention_filter(
     tier_df: DataFrame, tier: Tier, current_run: int, run_col: str = "run_id"
 ) -> DataFrame:

@@ -50,16 +50,14 @@ def main() -> None:
         # partition-type inference can parse date-looking run ids
         # (run=2026-08-16) into DateType — keep them strings so the
         # run-set compare and JSON output never choke
-        df = df.withColumn("run", F.col("run").cast("string"))
-        # commit_cells appends DATA before MANIFEST rows: a crash
-        # between the two followed by --resume re-appends the same
-        # cells (data is at-least-once; only the manifest is
-        # exactly-once).  Recomputation is deterministic, so the
-        # duplicates are byte-identical — dedupe on the cell key
-        return df.dropDuplicates(["run", "source", "bucket"])
+        return df.withColumn("run", F.col("run").cast("string"))
 
     fine = read_tier("t1k")
     coarse = read_tier("t100k")
+    # cell-key dedupe (at-least-once data rows) + run-set equality live
+    # in rollup.route_query_cells, shared with the correctness gate;
+    # keep a deduped view here for the factor sanity check + --verify
+    fine_d = fine.dropDuplicates(["run", "source", "bucket"])
 
     runs_f = {r.run for r in fine.select("run").distinct().collect()}
     runs_c = {r.run for r in coarse.select("run").distinct().collect()}
@@ -74,7 +72,7 @@ def main() -> None:
     # reagg of fine with bucket // factor, so their max buckets must
     # agree — a wrong factor would double-count interior against edges
     # and silently drop part of the range
-    max_f = fine.agg(F.max("bucket").alias("m")).collect()[0].m
+    max_f = fine_d.agg(F.max("bucket").alias("m")).collect()[0].m
     max_c = coarse.agg(F.max("bucket").alias("m")).collect()[0].m
     if max_f is None or max_c is None or max_f // args.factor != max_c:
         print(json.dumps({"error": "factor mismatch with tier layout",
@@ -88,7 +86,9 @@ def main() -> None:
     # needs no knowledge of the FruitPlan that produced the tiers
     fc = sorted(c[4:] for c in fine.columns if c.startswith("sum_f"))
 
-    routed = RU.route_range(fine, coarse, args.factor, args.lo, args.hi, fc)
+    routed = RU.route_query_cells(
+        fine, coarse, args.factor, args.lo, args.hi, fc
+    )
     rows = {
         r["source"]: {"n_docs": int(r["n_docs"]),
                       "sum_tok": int(r["sum_tok"])}
@@ -103,7 +103,7 @@ def main() -> None:
     if args.verify:
         direct = RU._sql_agg(
             RU._cell_payload(
-                fine.where(
+                fine_d.where(
                     (F.col("bucket") >= args.lo)
                     & (F.col("bucket") < args.hi)
                 ),

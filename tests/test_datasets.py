@@ -205,3 +205,15 @@ def test_uea_arff_through_multivariate_extract(spark, tmp_path):
     got = {r["label"]: r[fc[0]] for r in out.collect()}
     assert got[0] == 60.0   # 10+20+30
     assert got[1] == 150.0  # 40+50+60
+
+
+def test_uea_arff_size_guard(spark, tmp_path, monkeypatch):
+    """Files above the driver-side cap fail fast with a clear message
+    instead of OOMing the driver during parse."""
+    import pytest
+
+    f1 = tmp_path / "BIG_TRAIN.arff"
+    f1.write_text(ARFF)
+    monkeypatch.setattr(DS, "ARFF_MAX_BYTES", 10)
+    with pytest.raises(ValueError, match="driver-side and capped"):
+        DS.read_uea_arff(spark, str(f1))

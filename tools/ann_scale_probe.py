@@ -13,12 +13,16 @@ recall grid's 2000 vectors fit in one list)."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
+
+from _probe_metrics import ShuffleMeter, UI_EXTRA, fmt_bytes  # noqa: E402
 
 
 def synth_embeddings(spark, n: int, d: int = 64, n_clusters: int = 50):
@@ -44,27 +48,29 @@ def main() -> None:
 
     spark = build_session(
         master=f"local[{cores}]", shuffle_partitions=cores,
-        app="ann-scale",
+        app="ann-scale", extra=UI_EXTRA,
     )
-    import os
 
     reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
     emb = synth_embeddings(spark, n).cache()
     emb.count()
     n_queries, k = 20, 10
     off = n // 2  # queries disjoint from the first-N seed window
+    meter = ShuffleMeter(spark)
 
     def min_of(fn):
         best, out = float("inf"), None
         for _ in range(reps):
+            meter.delta()
             t0 = time.time()
             r = fn()
             dt = time.time() - t0
+            w, rd = meter.delta()
             if dt < best:
                 best, out = dt, r
-        return best, out
+        return best, out, f"shuffle_w={fmt_bytes(w)} shuffle_r={fmt_bytes(rd)}"
 
-    t_exact, exact = min_of(
+    t_exact, exact, sh_exact = min_of(
         lambda: cosine_topk(emb, n_queries=n_queries, k=k, shards=32,
                             query_offset=off).collect()
     )
@@ -73,7 +79,7 @@ def main() -> None:
         truth.setdefault(r["query_id"], set()).add(r["cand_id"])
 
     for n_cent, nprobe in ((64, 4), (256, 8)):
-        t_ivf, res = min_of(
+        t_ivf, res, sh_ivf = min_of(
             lambda: ivf_topk(
                 emb, n_centroids=n_cent, n_queries=n_queries,
                 nprobe=nprobe, k=k, shards=32, train_iters=2,
@@ -87,8 +93,9 @@ def main() -> None:
             len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
         ) / len(truth)
         print(
-            f"n={n} exact={t_exact:.1f}s  ivf[{n_cent}x{nprobe}]="
-            f"{t_ivf:.1f}s  speedup={t_exact / t_ivf:.1f}x  "
+            f"n={n} exact={t_exact:.1f}s ({sh_exact})  "
+            f"ivf[{n_cent}x{nprobe}]="
+            f"{t_ivf:.1f}s ({sh_ivf})  speedup={t_exact / t_ivf:.1f}x  "
             f"recall@{k}={rec:.3f}  scan_frac~{nprobe / n_cent:.3f}",
             flush=True,
         )

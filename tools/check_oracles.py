@@ -3,6 +3,11 @@ run each queries() entry on Spark and its oracle_sql() in DuckDB at
 sf0.01; compare row count, column set, and order-insensitive values.
 
 Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+
+sf_dir must be a driver test-data directory holding ALL the oracle
+parquet tables (default /root/testdata/sf0.01).  NOTE: the repo's own
+local `sf0.01/` directory is NOT one of these — it holds only bench
+token data and will be rejected here.
 """
 
 from __future__ import annotations
@@ -74,6 +79,17 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    import os
+
+    missing = [t for t in TABLES if not os.path.exists(f"{sf_dir}/{t}.parquet")]
+    if missing:
+        print(f"error: {sf_dir} is not an oracle test-data directory — "
+              f"missing tables: {' '.join(missing)}")
+        print(f"expected all of: {' '.join(TABLES)}")
+        print("hint: driver data lives at /root/testdata/sf{0.001,0.01,0.1}; "
+              "the repo-local sf0.01/ holds only bench token data")
+        return 2
 
     import __spark_entry__ as entrymod
     from fruits_spark.engine.session import build_session

@@ -12,12 +12,16 @@ recall of the planted pairs."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
+
+from _probe_metrics import ShuffleMeter, UI_EXTRA, fmt_bytes  # noqa: E402
 
 
 def synth_docs(spark, n: int, n_words: int = 60, vocab: int = 5000):
@@ -48,28 +52,33 @@ def main() -> None:
 
     spark = build_session(
         master=f"local[{cores}]", shuffle_partitions=cores,
-        app="dedup-scale",
+        app="dedup-scale", extra=UI_EXTRA,
     )
-    import os
 
     reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
     docs = synth_docs(spark, n).cache()
     docs.count()
     planted = {(i - 1, i) for i in range(10, n, 10)}
+    meter = ShuffleMeter(spark)
 
     def min_of(fn):
+        """Warmed min-of-reps wall plus the shuffle write/read bytes of
+        ONE run (shuffle volume is deterministic per plan)."""
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
             fn()
             best = min(best, time.time() - t0)
-        return best
+        meter.delta()
+        fn()
+        w, r = meter.delta()
+        return best, f"shuffle_w={fmt_bytes(w)} shuffle_r={fmt_bytes(r)}"
 
-    t_ex = min_of(lambda: exact_duplicates(docs).count())
+    t_ex, sh_ex = min_of(lambda: exact_duplicates(docs).count())
     nd = exact_duplicates(docs).count()
-    print(f"n={n} exact_dup {t_ex:.1f}s groups={nd}", flush=True)
+    print(f"n={n} exact_dup {t_ex:.1f}s groups={nd} {sh_ex}", flush=True)
 
-    t_lsh = min_of(
+    t_lsh, sh_lsh = min_of(
         lambda: minhash_lsh_candidates(docs, n_hashes=16, bands=4).count()
     )
     cand = minhash_lsh_candidates(docs, n_hashes=16, bands=4).cache()
@@ -86,16 +95,46 @@ def main() -> None:
     rec = len(hits) / len(planted)
     print(f"n={n} minhash_lsh {t_lsh:.1f}s candidates={n_cand} "
           f"planted_recall={rec:.3f} "
-          f"cand_frac={n_cand / (n * (n - 1) / 2):.2e}", flush=True)
+          f"cand_frac={n_cand / (n * (n - 1) / 2):.2e} {sh_lsh}", flush=True)
     cand.unpersist()
 
-    t_sh = min_of(lambda: simhash(docs).count())
+    t_sh, sh_sh = min_of(lambda: simhash(docs).count())
     sh = simhash(docs).count()
-    print(f"n={n} simhash fingerprints {t_sh:.1f}s rows={sh}", flush=True)
+    print(f"n={n} simhash fingerprints {t_sh:.1f}s rows={sh} {sh_sh}",
+          flush=True)
+
+    # embedding near-dup (LSH hyperplane blocking): clusters of ~50
+    # vectors each (cluster count scales with n, cluster SIZE stays
+    # constant — the realistic near-dup shape, so candidate pairs and
+    # shuffle volume must grow ~linearly with n, which is the claim
+    # this probe exists to check)
+    import numpy as np
+
+    from fruits_spark.pipeline import embedding_near_dups
+
+    rng_h = np.random.default_rng(42)
+    planes = rng_h.choice(np.array([-1.0, 1.0]), size=(8, 64))
+    n_clusters = max(50, n // 50)
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), j -> "
+            f"sin(1.7d * cast(id % {n_clusters} + 1 as double) * j) + "
+            "0.35d * sin(0.37d * cast(id + 1 as double) * j))"
+        ).alias("embedding"),
+    ).cache()
+    emb.count()
+    t_em, sh_em = min_of(
+        lambda: embedding_near_dups(emb, planes, threshold=0.9).count()
+    )
+    n_em = embedding_near_dups(emb, planes, threshold=0.9).count()
+    print(f"n={n} embed_near_dup {t_em:.1f}s pairs={n_em} {sh_em}",
+          flush=True)
+    emb.unpersist()
 
     # capped exact Jaccard — the corpus-scale variant of the
     # verification oracle (stop-shingle cut bounds the self-join)
-    t_j = min_of(
+    t_j, sh_j = min_of(
         lambda: jaccard_pairs(
             docs, threshold=0.5, max_shingle_freq=100
         ).count()
@@ -109,7 +148,7 @@ def main() -> None:
         ["doc_a", "doc_b"],
     ).count()
     print(f"n={n} jaccard_capped {t_j:.1f}s pairs={n_jp} "
-          f"planted_recall={j_hits / len(planted):.3f}", flush=True)
+          f"planted_recall={j_hits / len(planted):.3f} {sh_j}", flush=True)
     spark.stop()
 
 
