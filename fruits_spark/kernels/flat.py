@@ -468,6 +468,21 @@ def _lin_combo_nd(cols, exps) -> np.ndarray:
     return out
 
 
+def _mul_chain(tmp: np.ndarray, w: np.ndarray, k: int,
+               owned: bool = False) -> np.ndarray:
+    """``tmp * w`` applied ``k`` times, left-to-right — value-identical
+    to the naive loop but only the FIRST multiply allocates (the rest
+    run in place on the fresh buffer); ``owned=True`` when the caller
+    already owns ``tmp`` (never pass a shared/trie-state array)."""
+    for _ in range(k):
+        if owned:
+            np.multiply(tmp, w, out=tmp)
+        else:
+            tmp = tmp * w
+            owned = True
+    return tmp
+
+
 def iss_flat(
     seg: Seg,
     x: np.ndarray,
@@ -808,36 +823,35 @@ def coswiss_flat_multi(
         ends.setdefault(ls, []).append(wi)
     results = [np.zeros_like(x) for _ in words]
 
-    def step(state, e, k, sin_e, cos_e):
-        tmp = seg.shift1(state) if k > 0 else state
-        tmp = tmp * _pow1(x, e)
-        for _ in range(sin_e):
-            tmp = tmp * sin_w
-        for _ in range(cos_e):
-            tmp = tmp * cos_w
-        return seg.cumsum(tmp)
-
     def dfs(node, state, coeff, prev):
+        # the shift + letter product and the leading sin^right_sin run
+        # are IDENTICAL across a child's emission and all its exponent
+        # choices — hoist them out of the choice loop.  Op sequence per
+        # root-to-leaf path is unchanged (sins before coses, same
+        # association), so results stay bit-identical; ~30% fewer array
+        # passes at exponent 2.
         k = len(node)
         right_sin = (exponent - prev) if k > 0 else 0
         right_cos = prev if k > 0 else 0
         for child in children[node]:
             e = child[-1]
             wis = ends.get(child, ())
+            base = seg.shift1(state) if k > 0 else state
+            base = base * _pow1(x, e)
+            presin = _mul_chain(base, sin_w, right_sin)
             if wis and not total:
-                st = step(state, e, k, right_sin, right_cos)
+                st = seg.cumsum(_mul_chain(presin, cos_w, right_cos))
                 for wi in wis:
                     results[wi] += coeff * st
             if children[child] or (wis and total):
                 for c in range(exponent + 1):
-                    st = step(state, e, k,
-                              right_sin + (exponent - c), right_cos + c)
+                    tmp = _mul_chain(presin, sin_w, exponent - c)
+                    tmp = _mul_chain(tmp, cos_w, right_cos + c,
+                                     owned=tmp is not presin)
+                    st = seg.cumsum(tmp)
                     if wis and total:
-                        tmp = st
-                        for _ in range(exponent - c):
-                            tmp = tmp * sin_w
-                        for _ in range(c):
-                            tmp = tmp * cos_w
+                        tmp = _mul_chain(st, sin_w, exponent - c)
+                        tmp = _mul_chain(tmp, cos_w, c, owned=tmp is not st)
                         for wi in wis:
                             results[wi] += (coeff * comb(exponent, c)) * tmp
                     if children[child]:
@@ -888,36 +902,32 @@ def coswiss_flat_multi_mv(
         ends.setdefault(ls, []).append(wi)
     results = [np.zeros_like(cols[0]) for _ in words]
 
-    def step(state, letter, k, sin_e, cos_e):
-        tmp = seg.shift1(state) if k > 0 else state
-        tmp = _mul_letter_nd(tmp, cols, letter)
-        for _ in range(sin_e):
-            tmp = tmp * sin_w
-        for _ in range(cos_e):
-            tmp = tmp * cos_w
-        return seg.cumsum(tmp)
-
     def dfs(node, state, coeff, prev):
+        # same hoist as the univariate variant: shift + letter monomial
+        # + leading sin^right_sin shared across the child's emission and
+        # exponent choices, bit-identical op sequence per path
         k = len(node)
         right_sin = (exponent - prev) if k > 0 else 0
         right_cos = prev if k > 0 else 0
         for child in children[node]:
             letter = child[-1]
             wis = ends.get(child, ())
+            base = seg.shift1(state) if k > 0 else state
+            base = _mul_letter_nd(base, cols, letter)
+            presin = _mul_chain(base, sin_w, right_sin)
             if wis and not total:
-                st = step(state, letter, k, right_sin, right_cos)
+                st = seg.cumsum(_mul_chain(presin, cos_w, right_cos))
                 for wi in wis:
                     results[wi] += coeff * st
             if children[child] or (wis and total):
                 for c in range(exponent + 1):
-                    st = step(state, letter, k,
-                              right_sin + (exponent - c), right_cos + c)
+                    tmp = _mul_chain(presin, sin_w, exponent - c)
+                    tmp = _mul_chain(tmp, cos_w, right_cos + c,
+                                     owned=tmp is not presin)
+                    st = seg.cumsum(tmp)
                     if wis and total:
-                        tmp = st
-                        for _ in range(exponent - c):
-                            tmp = tmp * sin_w
-                        for _ in range(c):
-                            tmp = tmp * cos_w
+                        tmp = _mul_chain(st, sin_w, exponent - c)
+                        tmp = _mul_chain(tmp, cos_w, c, owned=tmp is not st)
                         for wi in wis:
                             results[wi] += (coeff * comb(exponent, c)) * tmp
                     if children[child]:
