@@ -495,6 +495,10 @@ def _emit_level_flat(seg, xp, spec, x_orig):
         yield from _emit_level_flat_cse(seg, xp, spec)
         return
     lookup = _lookup_flat(spec, seg, xp, x_orig)
+    if not spec.total:
+        # weighted non-total: prefix CSE (bit-identical to per-word)
+        yield from _emit_level_flat_cse_weighted(seg, xp, spec, lookup)
+        return
     pplan = spec.plan()
     i = 0
     for wi, w in enumerate(spec.words):
@@ -525,16 +529,19 @@ def _emit_level_flat_cse(seg, xp, spec):
     shared prefix scans per word (iss/iss.py:49-65)."""
     from ..kernels import flat as KF
 
-    # emission index per prefix, in plan label order
+    # emission indices per prefix, in plan label order.  A LIST per
+    # node: duplicate words in SINGLE mode each emit their own stream
+    # (PrefixPlan only zeroes duplicate depths in extended mode) — the
+    # shared node then yields once per owed index.
     pplan = spec.plan()
-    emit_idx: dict[tuple, int] = {}
+    emit_idx: dict[tuple, list[int]] = {}
     i = 0
     for wi, w in enumerate(spec.words):
         depth = pplan.depth(wi) if pplan is not None else 1
         letters = w.letters()
         k = len(letters)
         for j in range(k - depth + 1, k + 1):
-            emit_idx[letters[:j]] = i
+            emit_idx.setdefault(letters[:j], []).append(i)
             i += 1
     # trie children (deterministic order of first appearance)
     children: dict[tuple, list] = {(): []}
@@ -589,9 +596,131 @@ def _emit_level_flat_cse(seg, xp, spec):
     def dfs(node, state):
         for child in children[node]:
             child_state = advance(state, child[-1])
-            if child in emit_idx:
-                yield emit_idx[child], child_state
+            for ei in emit_idx.get(child, ()):
+                yield ei, child_state
             yield from dfs(child, child_state)
+
+    yield from dfs((), None)
+
+
+def _emit_level_flat_cse_weighted(seg, xp, spec, lookup):
+    """Weighted (non-total) ISS with scan-level prefix CSE — the
+    weighted twin of :func:`_emit_level_flat_cse`.  Trie nodes key on
+    (letter, alpha) PAIRS: two words share a prefix scan only when
+    letters and per-letter weighting exponents both agree (the forward
+    state carries ``exp(lookup * alpha)`` factors).  Emission
+    accounting mirrors PrefixPlan, which keys on letters alone: each
+    emitted prefix belongs to the first word that introduced it, so the
+    emission set and stream indices are exactly the per-word path's.
+    Per-node ops replicate the per-word kernels' op order
+    (``KF.iss_flat`` / ``iss_flat_mv``), so shared-prefix streams are
+    bit-identical to running each word separately."""
+    from ..kernels import flat as KF
+
+    pplan = spec.plan()
+    emit_at: dict[tuple, list[int]] = {}
+    children: dict[tuple, list] = {(): []}
+    i = 0
+    for wi, w in enumerate(spec.words):
+        depth = pplan.depth(wi) if pplan is not None else 1
+        if depth == 0:
+            continue  # fully shared per PrefixPlan: emits nothing
+        letters = w.letters()
+        # per-word kernels round alpha through float32 (iss_flat's
+        # `a = float32(alpha).astype(float64)`) — key on the SAME value
+        a64 = np.array(w.alpha, dtype=np.float32).astype(np.float64)
+        path = tuple(
+            (letters[j], float(a64[j])) for j in range(len(letters))
+        )
+        k = len(path)
+        for j in range(k - depth + 1, k + 1):
+            # a LIST per node: duplicate words in single mode each owe
+            # their own stream (see _emit_level_flat_cse)
+            emit_at.setdefault(path[:j], []).append(i)
+            i += 1
+        for j in range(k):
+            node, nxt = path[:j], path[:j + 1]
+            kids = children.setdefault(node, [])
+            if nxt not in kids:
+                kids.append(nxt)
+            children.setdefault(nxt, [])
+
+    semiring = spec.semiring
+    cols = xp if isinstance(xp, list) else None
+    # per-alpha factor caches: the per-word path recomputes
+    # exp(±lookup*a) / lookup*a at every level; alphas repeat (usually
+    # all 1.0), so each distinct value is computed once per batch
+    fac: dict[tuple, np.ndarray] = {}
+
+    def _fac(kind: str, a: float) -> np.ndarray:
+        v = fac.get((kind, a))
+        if v is None:
+            if kind == "p":
+                v = np.exp(lookup * a)
+            elif kind == "n":
+                v = np.exp(-lookup * a)
+            else:  # "l": arctic linear term
+                v = lookup * a
+            fac[(kind, a)] = v
+        return v
+
+    def raw_of(state, letter, a_prev):
+        # state None <=> root (first letter of the word)
+        if semiring == "reals":
+            if cols is not None:
+                if state is None:
+                    return KF._mul_letter_nd(None, cols, letter)
+                r = KF._mul_letter_nd_owned(seg.shift1(state), cols, letter)
+            else:
+                e = letter[0] if letter else 0
+                if state is None:
+                    return KF._mul_letter(None, xp, e)
+                r = KF._mul_letter_owned(seg.shift1(state), xp, e)
+            np.multiply(r, _fac("n", a_prev), out=r)
+            return r
+        if semiring == "arctic":
+            combo = (
+                KF._lin_combo_nd(cols, letter) if cols is not None
+                else float(letter[0] if letter else 0) * xp
+            )
+            if state is None:
+                return combo
+            r = state + combo
+            np.subtract(r, _fac("l", a_prev), out=r)
+            return r
+        # bayesian (per-word seeds from exact ones; 1.0*x is bit-neutral)
+        if cols is not None:
+            base = np.ones_like(cols[0]) if state is None else state
+            r = KF._mul_letter_nd(base, cols, letter)
+        else:
+            e = letter[0] if letter else 0
+            base = np.ones_like(xp) if state is None else state
+            r = base * KF._pow1(xp, e)
+        if state is not None:
+            r = r * _fac("n", a_prev)
+        return r
+
+    emit_op = seg.cumsum if semiring == "reals" else seg.runmax
+
+    def forward(raw, a_cur):
+        if semiring == "reals":
+            return seg.cumsum(raw * _fac("p", a_cur))
+        if semiring == "arctic":
+            return seg.runmax(raw + _fac("l", a_cur))
+        return seg.runmax(raw * _fac("p", a_cur))
+
+    def dfs(node, state):
+        a_prev = node[-1][1] if node else None
+        for child in children[node]:
+            letter, a_cur = child[-1]
+            raw = raw_of(state, letter, a_prev)
+            eis = emit_at.get(child)
+            if eis:
+                st = emit_op(raw)
+                for ei in eis:
+                    yield ei, st
+            if children[child]:
+                yield from dfs(child, forward(raw, a_cur))
 
     yield from dfs((), None)
 

@@ -133,3 +133,90 @@ def test_multisine_noise_deterministic_and_seeded(spark):
     assert ra != rc            # seed moves both coefficients and noise
     # noise is per-position independent: values differ inside a row
     assert len(set(ra[0])) > 10
+
+
+def test_weighted_cse_bit_identical_to_per_word():
+    """The weighted prefix-CSE emitter must reproduce the per-word
+    iss_flat/iss_flat_mv streams BIT-exactly (shared-prefix scans are
+    the same op sequences) for every semiring, univariate and mv, incl.
+    alternate-sign alphas and words sharing letters at depth 0."""
+    import numpy as np
+
+    from fruits_spark.engine.executor import (
+        _emit_level_flat, _lookup_flat,
+    )
+    from fruits_spark.kernels import flat as KF
+    from fruits_spark.plan import ISSSpec
+    from fruits_spark.words import W, alternate_sign, of_weight
+
+    rng = np.random.default_rng(7)
+    lengths = rng.integers(0, 40, size=12)
+    offsets = np.zeros(13, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    seg = KF.Seg(offsets)
+    cols = [rng.normal(size=int(offsets[-1])) for _ in range(2)]
+    x = cols[0]
+
+    cases = [
+        (tuple(of_weight(3, 1)), "reals", 1),
+        (tuple(of_weight(3, 2)), "reals", 2),
+        (tuple(alternate_sign([W("[1][1][1]"), W("[1][1]")])), "arctic", 1),
+        (tuple(of_weight(2, 2)), "arctic", 2),
+        ((W("[1][11]"), W("[1][2]"), W("[1][11]")), "bayesian", 2),
+        ((W("[11][1]"), W("[11][1][1]")), "bayesian", 1),
+    ]
+    for words, semiring, d in cases:
+        for mode in ("single", "extended"):
+            spec = ISSSpec(words, mode=mode, semiring=semiring,
+                           weighting="indices")
+            xp = cols[:d] if d > 1 else x
+            inp = xp if d > 1 else x
+            lookup = _lookup_flat(spec, seg, inp, cols[:d])
+            got = dict(_emit_level_flat(seg, inp, spec, cols[:d]))
+            # per-word oracle (the pre-CSE path)
+            pplan = spec.plan()
+            want = {}
+            i = 0
+            for wi, w in enumerate(spec.words):
+                depth = pplan.depth(wi) if pplan is not None else 1
+                if depth == 0:
+                    continue
+                alpha = np.array(w.alpha, dtype=np.float32)
+                fn = KF.iss_flat_mv if d > 1 else KF.iss_flat
+                for stream in fn(seg, xp, w.matrix, extended=depth,
+                                 semiring=semiring, alpha=alpha,
+                                 lookup=lookup):
+                    want[i] = stream
+                    i += 1
+            assert set(got) == set(want), (semiring, mode, d)
+            for k in want:
+                np.testing.assert_array_equal(
+                    got[k], want[k],
+                    err_msg=f"{semiring}/{mode}/d={d}/stream {k}",
+                )
+
+
+def test_unweighted_cse_duplicate_words_single_mode():
+    """Duplicate words in SINGLE mode each owe their own stream (the
+    reference counts them separately); the prefix-CSE trie must yield
+    the shared node once per owed index — this used to die with
+    'stream accounting: 2 != 3'."""
+    import numpy as np
+
+    from fruits_spark.engine.executor import compute_features_flat
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    rng = np.random.default_rng(7)
+    lengths = rng.integers(1, 20, size=5)
+    offsets = np.zeros(6, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    x = rng.normal(size=int(offsets[-1]))
+    for extra in ({}, {"weighting": "indices"}):
+        spec = ISSSpec((W("[1][11]"), W("[1][2]"), W("[1][11]")),
+                       mode="single", **extra)
+        fplan = FruitPlan((Slice(iss=spec, sieves=(Sieve("end"),)),))
+        out = compute_features_flat(x, offsets, fplan)
+        assert out.shape[1] == 3
+        np.testing.assert_array_equal(out[:, 0], out[:, 2])
+        assert out[:, 0].any()
