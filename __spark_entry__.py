@@ -419,6 +419,20 @@ def q_iss_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 sieves=(Sieve("end"),),
             ),
+            # bayesian + weighted + TOTAL (round 5: pins the flat-path
+            # fix — this combo used to fall through to the non-total
+            # recurrence; oracle is the two-level windowed-max chain
+            # with exp(±g) folded per level, non-strict indices)
+            Slice(
+                iss=ISSSpec(
+                    (W("[1][1]"),),
+                    semiring="bayesian",
+                    weighting="indices",
+                    weighting_params={"relative": True, "scale": 1.0},
+                    total=True,
+                ),
+                sieves=(Sieve("end"),),
+            ),
         )
     )
     fc = feature_columns(fplan)
@@ -431,6 +445,7 @@ def q_iss_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col(fc[0]), 6).alias("wend_r6"),
         F.round(F.col(fc[1]), 6).alias("wcust_end_r6"),
         F.round(F.col(fc[2]), 6).alias("wplat_end_r6"),
+        F.round(F.col(fc[3]), 6).alias("bayw_tot_r6"),
     )
 
 
@@ -445,11 +460,19 @@ g AS (
     FROM toks
 ),
 lvl1 AS (
-    SELECT doc_id, pos, xb, gi, gc, gp,
+    SELECT doc_id, pos, xb, gi, gc, gp, n_tok,
            SUM(xb * EXP(gi * 1.0)) OVER w AS runw,
            SUM(xb * EXP(gc)) OVER w AS runc,
-           SUM(xb * EXP(gp)) OVER w AS runp
+           SUM(xb * EXP(gp)) OVER w AS runp,
+           MAX(xb * EXP(gi * 1.0)) OVER w AS bm1
     FROM g
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+lvl2 AS (
+    SELECT doc_id, pos, xb, gi, gp, gc, n_tok, runw, runc, runp,
+           MAX(((bm1 * EXP(-gi * 1.0)) * xb) * EXP(gi * 1.0)) OVER w AS bm2
+    FROM lvl1
     WINDOW w AS (PARTITION BY doc_id ORDER BY pos
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
@@ -459,8 +482,10 @@ SELECT doc_id,
        ROUND(SUM(((runc - xb * EXP(gc)) * xb) * EXP(-gc)), 6)
            AS wcust_end_r6,
        ROUND(SUM(((runp - xb * EXP(gp)) * xb) * EXP(-gp)), 6)
-           AS wplat_end_r6
-FROM lvl1
+           AS wplat_end_r6,
+       ROUND(MAX(CASE WHEN pos = n_tok - 1
+                 THEN bm2 * EXP(-gi * 1.0) END), 6) AS bayw_tot_r6
+FROM lvl2
 GROUP BY doc_id
 """
 

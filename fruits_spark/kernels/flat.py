@@ -554,17 +554,29 @@ def iss_flat(
                         tmp = seg.runmax(tmp)
     elif semiring == "bayesian":
         tmp = np.ones_like(x)
-        for k in range(k_total):
-            tmp = tmp * _pow1(x, exps[k])
-            if weighted and k > 0:
-                tmp = tmp * np.exp(-lookup * a[k - 1])
-            if k_total - k <= extended:
-                results.append(seg.runmax(tmp))
-            if k < k_total - 1:
-                if weighted:
-                    tmp = seg.runmax(tmp * np.exp(lookup * a[k]))
-                else:
-                    tmp = seg.runmax(tmp)
+        if weighted and total:
+            # mirror of the bucketed _iss_bayesian_total
+            # (iss.py:173-186); round-5 fix — this combo previously
+            # fell through to the non-total recurrence (wrong values)
+            for k in range(k_total):
+                tmp = tmp * _pow1(x, exps[k])
+                tmp = seg.runmax(tmp * np.exp(lookup * a[k]))
+                if k_total - k <= extended:
+                    results.append(tmp * np.exp(-lookup * a[k]))
+                if k < k_total - 1:
+                    tmp = tmp * np.exp(-lookup * a[k])
+        else:
+            for k in range(k_total):
+                tmp = tmp * _pow1(x, exps[k])
+                if weighted and k > 0:
+                    tmp = tmp * np.exp(-lookup * a[k - 1])
+                if k_total - k <= extended:
+                    results.append(seg.runmax(tmp))
+                if k < k_total - 1:
+                    if weighted:
+                        tmp = seg.runmax(tmp * np.exp(lookup * a[k]))
+                    else:
+                        tmp = seg.runmax(tmp)
     else:
         raise ValueError(semiring)
     return results
@@ -649,17 +661,28 @@ def iss_flat_mv(
                         tmp = seg.runmax(tmp)
     elif semiring == "bayesian":
         tmp: np.ndarray | None = np.ones_like(cols[0])
-        for k in range(k_total):
-            tmp = _mul_letter_nd(tmp, cols, word[k])
-            if weighted and k > 0:
-                tmp = tmp * np.exp(-lookup * a[k - 1])
-            if k_total - k <= extended:
-                results.append(seg.runmax(tmp))
-            if k < k_total - 1:
-                if weighted:
-                    tmp = seg.runmax(tmp * np.exp(lookup * a[k]))
-                else:
-                    tmp = seg.runmax(tmp)
+        if weighted and total:
+            # mirror of the bucketed _iss_bayesian_total (see the
+            # univariate iss_flat note — round-5 fix)
+            for k in range(k_total):
+                tmp = _mul_letter_nd(tmp, cols, word[k])
+                tmp = seg.runmax(tmp * np.exp(lookup * a[k]))
+                if k_total - k <= extended:
+                    results.append(tmp * np.exp(-lookup * a[k]))
+                if k < k_total - 1:
+                    tmp = tmp * np.exp(-lookup * a[k])
+        else:
+            for k in range(k_total):
+                tmp = _mul_letter_nd(tmp, cols, word[k])
+                if weighted and k > 0:
+                    tmp = tmp * np.exp(-lookup * a[k - 1])
+                if k_total - k <= extended:
+                    results.append(seg.runmax(tmp))
+                if k < k_total - 1:
+                    if weighted:
+                        tmp = seg.runmax(tmp * np.exp(lookup * a[k]))
+                    else:
+                        tmp = seg.runmax(tmp)
     else:
         raise ValueError(semiring)
     return results

@@ -220,3 +220,44 @@ def test_unweighted_cse_duplicate_words_single_mode():
         assert out.shape[1] == 3
         np.testing.assert_array_equal(out[:, 0], out[:, 2])
         assert out[:, 0].any()
+
+
+def test_weighted_total_flat_matches_bucketed_all_semirings():
+    """Weighted + total=True on the flat path vs the bucketed kernels
+    for every semiring, univariate and multivariate.  Pins the round-5
+    fix: flat bayesian used to silently run the NON-total recurrence
+    for this combo (max err ~0.2)."""
+    import numpy as np
+
+    from fruits_spark.kernels import flat as KF, iss as KI
+    from fruits_spark.words import W
+
+    rng = np.random.default_rng(3)
+    lengths = np.array([7, 1, 0, 9, 24])
+    offsets = np.zeros(6, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    seg = KF.Seg(offsets)
+    # bayesian multiplies magnitudes — keep near 1
+    cols = [0.5 + 0.2 * rng.random(int(offsets[-1])) for _ in range(2)]
+    lk_flat = KF.indices_lookup_flat(seg)
+
+    for semiring in ("reals", "arctic", "bayesian"):
+        for d, word in ((1, W("[1][11][1]")), (2, W("[1][12][2]"))):
+            a32 = np.array(word.alpha, dtype=np.float32)
+            fn = KF.iss_flat_mv if d > 1 else KF.iss_flat
+            xp = cols[:d] if d > 1 else cols[0]
+            flat = fn(seg, xp, word.matrix, extended=2, semiring=semiring,
+                      alpha=a32, lookup=lk_flat, total=True)
+            for i in range(len(lengths)):
+                s, e = offsets[i], offsets[i + 1]
+                if e == s:
+                    continue
+                Z = np.stack([c[s:e] for c in cols[:d]])[np.newaxis]
+                lk = KI.indices_lookup(1, int(e - s))
+                res = KI.iss(Z, word.matrix, extended=2, semiring=semiring,
+                             alpha=a32, lookup=lk, total=True)
+                for lvl in range(2):
+                    np.testing.assert_allclose(
+                        flat[lvl][s:e], res[0][lvl], rtol=1e-9, atol=1e-12,
+                        err_msg=f"{semiring}/d={d}/row {i}/lvl {lvl}",
+                    )

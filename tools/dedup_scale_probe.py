@@ -112,8 +112,14 @@ def main() -> None:
 
     from fruits_spark.pipeline import embedding_near_dups
 
+    # SCALE RULE (measured the hard way): the hyperplane bit count must
+    # grow with the corpus — b ≈ log2(n / target_bucket_size).  A fixed
+    # 8-bit blocking (256 buckets) at 1M docs makes ~4k-vector buckets
+    # and ~2e9 verify pairs (quadratic); 12 bits restores ~250-vector
+    # buckets and linear candidate growth.
+    bits = max(8, int(np.ceil(np.log2(max(n, 1) / 400))))
     rng_h = np.random.default_rng(42)
-    planes = rng_h.choice(np.array([-1.0, 1.0]), size=(8, 64))
+    planes = rng_h.choice(np.array([-1.0, 1.0]), size=(bits, 64))
     n_clusters = max(50, n // 50)
     emb = spark.range(n).select(
         F.col("id").alias("vec_id"),
@@ -128,8 +134,8 @@ def main() -> None:
         lambda: embedding_near_dups(emb, planes, threshold=0.9).count()
     )
     n_em = embedding_near_dups(emb, planes, threshold=0.9).count()
-    print(f"n={n} embed_near_dup {t_em:.1f}s pairs={n_em} {sh_em}",
-          flush=True)
+    print(f"n={n} embed_near_dup[{bits}bit] {t_em:.1f}s pairs={n_em} "
+          f"{sh_em}", flush=True)
     emb.unpersist()
 
     # capped exact Jaccard — the corpus-scale variant of the
