@@ -151,3 +151,52 @@ def test_extended_equals_prefix_singles(rows):
     for j, sp in enumerate(singles):
         fs = compute_features_flat(values, offsets, sp)
         np.testing.assert_allclose(fe[:, j], fs[:, 0], rtol=1e-9)
+
+
+MV_WORDS = ["[1]", "[12]", "[1][2]", "[11][2]", "[2][1][1]", "[1][22]"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=series_strategy,
+    wi=st.integers(0, len(MV_WORDS) - 1),
+    sr=st.sampled_from(["reals", "arctic", "bayesian"]),
+    weighting=st.sampled_from([None, "indices", "l1", "l2"]),
+    total=st.booleans(),
+    mode=st.sampled_from(["single", "extended"]),
+    d=st.integers(1, 2),
+)
+def test_flat_matches_bucketed_all_spec_combos(rows, wi, sr, weighting,
+                                               total, mode, d):
+    """Every (semiring x weighting x total x mode x dims) combo the flat
+    path claims must match the bucketed reference-parity kernels —
+    the round-5 bayesian weighted+total divergence hid exactly in a
+    combo no directed test enumerated."""
+    from fruits_spark.engine.executor import plan_is_flat
+
+    word = MV_WORDS[wi] if d == 2 else WORDS[wi]
+    # bayesian multiplies magnitudes: keep values in [0.5, 1.5] to
+    # avoid overflow drowning the comparison
+    spec = ISSSpec(
+        (W(word),), semiring=sr, mode=mode, weighting=weighting,
+        total=total if weighting is not None else False,
+    )
+    fplan = FruitPlan((Slice(iss=spec, sieves=(Sieve("end"), Sieve("max"))),))
+    assert plan_is_flat(fplan, n_dims=d)
+    xs = [
+        0.5 + np.asarray(r, dtype=np.float64) / 50.0 for r in rows
+    ]
+    lengths = np.array([len(x) for x in xs], dtype=np.int64)
+    offsets = np.zeros(len(xs) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    if d == 1:
+        flat_in = np.concatenate(xs) if xs else np.array([])
+        blocks = [x.reshape(1, 1, -1) for x in xs]
+    else:
+        flat_in = [np.concatenate(xs), np.concatenate([x * 0.7 for x in xs])]
+        blocks = [
+            np.stack([x, x * 0.7])[np.newaxis] for x in xs
+        ]
+    ff = compute_features_flat(flat_in, offsets, fplan)
+    fb = np.vstack([compute_features_block(b, fplan) for b in blocks])
+    np.testing.assert_allclose(ff, fb, rtol=1e-9, atol=1e-9)
