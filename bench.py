@@ -214,9 +214,11 @@ def small_query_times(spark, sf_dir: str) -> dict:
     import __spark_entry__ as e
 
     out = {}
+    # iss_multivariate added round 5: puts a shared-artifact number on
+    # the flat multivariate path (was bucketed through round 4)
     for name in ("iss_reals_end", "rollup_salted", "gapfill",
                  "dedup_jaccard", "ann_cosine", "text_stats",
-                 "dedup_embed", "ann_topk"):
+                 "dedup_embed", "ann_topk", "iss_multivariate"):
         best = float("inf")
         for _ in range(4):
             t0 = time.time()

@@ -906,13 +906,27 @@ def embedding_near_dups(
     hyperplanes,
     threshold: float = 0.4,
     id_col: str = "vec_id",
+    verify: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale: LSH hyperplane
     bucketing blocks candidates (a shuffle on ``lsh_bucket`` replaces the
     O(N^2) cross join), then the exact quantized-int cosine verifies each
     same-bucket pair.  With b hyperplane bits the candidate set shrinks
     ~2^b-fold; recall is tuned by b (and by OR-ing several bucket tables,
-    which is this same query unioned over independent plane draws)."""
+    which is this same query unioned over independent plane draws).
+
+    ``verify`` picks the within-bucket verifier:
+
+    * ``"expr"`` (default): bucket self-join + per-pair ``zip_with``
+      integer dot — pure JVM, right for SPARSE buckets (few pairs).
+    * ``"pandas"``: one grouped ``applyInPandas`` per bucket computing
+      the block-wise int64 GRAM MATRIX — the dot values are the same
+      exact integers, but ~2 orders of magnitude faster per pair once
+      buckets are dense (measured: the 1M-doc probe's 12-bit buckets
+      hold ~250 vectors = ~120M pairs, where per-pair zip_with is the
+      bottleneck).  Requires a numeric ``id_col``; a bucket must fit in
+      executor memory (pick the bit count accordingly — b ≈
+      log2(n / target_bucket_size))."""
     q = quantize_embeddings(emb)
     # bucket is a projection on the quantized vector — NO self-join to
     # re-attach it (a join here would broadcast the whole table at scale)
@@ -920,6 +934,10 @@ def embedding_near_dups(
         F.col(id_col), "qvec", "qnorm",
         lsh_bucket_expr(hyperplanes, "qvec").alias("lsh_bucket"),
     )
+    if verify == "pandas":
+        return _near_dup_verify_gram(side, threshold, id_col)
+    if verify != "expr":
+        raise ValueError(f"verify must be 'expr' or 'pandas', got {verify!r}")
     a = side.select(
         F.col(id_col).alias("id_a"),
         F.col("qvec").alias("qvec_a"),
@@ -948,6 +966,59 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") > threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r6"))
+    )
+
+
+def _near_dup_verify_gram(side: DataFrame, threshold: float,
+                          id_col: str) -> DataFrame:
+    """Dense-bucket verifier for :func:`embedding_near_dups`: per
+    bucket, a block-wise int64 gram matrix replaces the per-pair
+    zip_with dot.  Dots are exact integers either way, so the emitted
+    pairs are identical to the expr path (cosine rounded HALF_UP like
+    Spark's ROUND; int64 is safe to d * (scale*|v|)^2 ~ 1e14 per term).
+    Work is still O(sum of bucket_size^2) — inherent to verify-all —
+    but each pair costs one fused-matmul lane instead of an interpreted
+    64-element expression."""
+    import numpy as np
+    import pandas as pd
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cosine_r6": pd.Series(dtype="float64")}
+        )
+        if n < 2:
+            return empty
+        Q = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        qn = pdf["qnorm"].to_numpy().astype(np.float64)
+        out = []
+        block = 2048  # gram block rows: memory O(block * n_bucket)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            G = Q[s:e] @ Q.T  # exact int64 dots
+            denom = np.sqrt(qn[s:e, None] * qn[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, G / denom, np.nan)
+            ii, jj = np.nonzero(cos > threshold)  # NaN > t is False
+            keep = ids[s + ii] < ids[jj]  # one orientation per pair
+            ii, jj = ii[keep], jj[keep]
+            if len(ii):
+                c = cos[ii, jj]
+                # Spark ROUND(x, 6) is HALF_UP (away from zero)
+                r6 = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+                out.append(pd.DataFrame(
+                    {"id_a": ids[s + ii], "id_b": ids[jj],
+                     "cosine_r6": r6}
+                ))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return (
+        side.repartition("lsh_bucket")
+        .groupBy("lsh_bucket")
+        .applyInPandas(gram, schema="id_a long, id_b long, cosine_r6 double")
     )
 
 

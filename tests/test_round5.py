@@ -261,3 +261,34 @@ def test_weighted_total_flat_matches_bucketed_all_semirings():
                         flat[lvl][s:e], res[0][lvl], rtol=1e-9, atol=1e-12,
                         err_msg=f"{semiring}/d={d}/row {i}/lvl {lvl}",
                     )
+
+
+def test_embedding_near_dups_gram_matches_expr(spark):
+    """The dense-bucket gram verifier must emit exactly the expr path's
+    pairs (same integer dots, same HALF_UP rounding)."""
+    import numpy as np
+
+    from fruits_spark.pipeline import embedding_near_dups
+
+    rng = np.random.default_rng(11)
+    planes = rng.choice(np.array([-1.0, 1.0]), size=(4, 8))
+    rows = []
+    for i in range(300):
+        base = rng.normal(size=8)
+        rows.append((i, [float(v) for v in base]))
+        if i % 7 == 0:  # planted near-dup
+            rows.append((i + 1000, [float(v + 0.01 * rng.normal())
+                                    for v in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {
+        (r["id_a"], r["id_b"], r["cosine_r6"])
+        for r in embedding_near_dups(emb, planes, threshold=0.5).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"], r["cosine_r6"])
+        for r in embedding_near_dups(
+            emb, planes, threshold=0.5, verify="pandas"
+        ).collect()
+    }
+    assert len(a) > 40  # planted pairs actually found
+    assert a == b

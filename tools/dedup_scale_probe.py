@@ -41,68 +41,7 @@ def synth_docs(spark, n: int, n_words: int = 60, vocab: int = 5000):
     )
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-
-    from fruits_spark.engine.session import build_session
-    from fruits_spark.pipeline import (
-        exact_duplicates, jaccard_pairs, minhash_lsh_candidates, simhash,
-    )
-
-    spark = build_session(
-        master=f"local[{cores}]", shuffle_partitions=cores,
-        app="dedup-scale", extra=UI_EXTRA,
-    )
-
-    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
-    docs = synth_docs(spark, n).cache()
-    docs.count()
-    planted = {(i - 1, i) for i in range(10, n, 10)}
-    meter = ShuffleMeter(spark)
-
-    def min_of(fn):
-        """Warmed min-of-reps wall plus the shuffle write/read bytes of
-        ONE run (shuffle volume is deterministic per plan)."""
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.time()
-            fn()
-            best = min(best, time.time() - t0)
-        meter.delta()
-        fn()
-        w, r = meter.delta()
-        return best, f"shuffle_w={fmt_bytes(w)} shuffle_r={fmt_bytes(r)}"
-
-    t_ex, sh_ex = min_of(lambda: exact_duplicates(docs).count())
-    nd = exact_duplicates(docs).count()
-    print(f"n={n} exact_dup {t_ex:.1f}s groups={nd} {sh_ex}", flush=True)
-
-    t_lsh, sh_lsh = min_of(
-        lambda: minhash_lsh_candidates(docs, n_hashes=16, bands=4).count()
-    )
-    cand = minhash_lsh_candidates(docs, n_hashes=16, bands=4).cache()
-    n_cand = cand.count()
-    hits = {
-        (r["doc_a"], r["doc_b"])
-        for r in cand.join(
-            spark.createDataFrame(
-                [(a, b) for a, b in planted], "doc_a long, doc_b long"
-            ),
-            ["doc_a", "doc_b"],
-        ).collect()
-    }
-    rec = len(hits) / len(planted)
-    print(f"n={n} minhash_lsh {t_lsh:.1f}s candidates={n_cand} "
-          f"planted_recall={rec:.3f} "
-          f"cand_frac={n_cand / (n * (n - 1) / 2):.2e} {sh_lsh}", flush=True)
-    cand.unpersist()
-
-    t_sh, sh_sh = min_of(lambda: simhash(docs).count())
-    sh = simhash(docs).count()
-    print(f"n={n} simhash fingerprints {t_sh:.1f}s rows={sh} {sh_sh}",
-          flush=True)
-
+def _run_embed_probe(spark, n, min_of):
     # embedding near-dup (LSH hyperplane blocking): clusters of ~50
     # vectors each (cluster count scales with n, cluster SIZE stays
     # constant — the realistic near-dup shape, so candidate pairs and
@@ -130,14 +69,108 @@ def main() -> None:
         ).alias("embedding"),
     ).cache()
     emb.count()
-    t_em, sh_em = min_of(
-        lambda: embedding_near_dups(emb, planes, threshold=0.9).count()
+    # both verifiers: per-pair zip_with (expr) vs per-bucket int64 gram
+    # (pandas) — identical pairs, very different cost on dense buckets.
+    # The expr verify at n >= 1M is hours-slow; skip it there.
+    if n <= 200_000:
+        t_em, sh_em = min_of(
+            lambda: embedding_near_dups(emb, planes, threshold=0.9).count()
+        )
+        n_em = embedding_near_dups(emb, planes, threshold=0.9).count()
+        print(f"n={n} embed_near_dup[{bits}bit,expr] {t_em:.1f}s "
+              f"pairs={n_em} {sh_em}", flush=True)
+    t_eg, sh_eg = min_of(
+        lambda: embedding_near_dups(
+            emb, planes, threshold=0.9, verify="pandas"
+        ).count()
     )
-    n_em = embedding_near_dups(emb, planes, threshold=0.9).count()
-    print(f"n={n} embed_near_dup[{bits}bit] {t_em:.1f}s pairs={n_em} "
-          f"{sh_em}", flush=True)
+    n_eg = embedding_near_dups(
+        emb, planes, threshold=0.9, verify="pandas"
+    ).count()
+    print(f"n={n} embed_near_dup[{bits}bit,gram] {t_eg:.1f}s pairs={n_eg} "
+          f"{sh_eg}", flush=True)
     emb.unpersist()
 
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from fruits_spark.engine.session import build_session
+    from fruits_spark.pipeline import (
+        exact_duplicates, jaccard_pairs, minhash_lsh_candidates, simhash,
+    )
+
+    spark = build_session(
+        master=f"local[{cores}]", shuffle_partitions=cores,
+        app="dedup-scale", extra=UI_EXTRA,
+    )
+
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
+    # e.g. SPARK_GRAFT_PROBE_OPS=embed or exact,minhash,simhash,embed,jaccard
+    ops = set(
+        os.environ.get(
+            "SPARK_GRAFT_PROBE_OPS", "exact,minhash,simhash,embed,jaccard"
+        ).split(",")
+    )
+    docs = synth_docs(spark, n).cache()
+    docs.count()
+    planted = {(i - 1, i) for i in range(10, n, 10)}
+    meter = ShuffleMeter(spark)
+
+    def min_of(fn):
+        """Warmed min-of-reps wall plus the shuffle write/read bytes of
+        ONE run (shuffle volume is deterministic per plan)."""
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        meter.delta()
+        fn()
+        w, r = meter.delta()
+        return best, f"shuffle_w={fmt_bytes(w)} shuffle_r={fmt_bytes(r)}"
+
+    if "exact" in ops:
+        t_ex, sh_ex = min_of(lambda: exact_duplicates(docs).count())
+        nd = exact_duplicates(docs).count()
+        print(f"n={n} exact_dup {t_ex:.1f}s groups={nd} {sh_ex}", flush=True)
+
+    if "minhash" in ops:
+        t_lsh, sh_lsh = min_of(
+            lambda: minhash_lsh_candidates(docs, n_hashes=16, bands=4).count()
+        )
+        cand = minhash_lsh_candidates(docs, n_hashes=16, bands=4).cache()
+        n_cand = cand.count()
+        hits = {
+            (r["doc_a"], r["doc_b"])
+            for r in cand.join(
+                spark.createDataFrame(
+                    [(a, b) for a, b in planted], "doc_a long, doc_b long"
+                ),
+                ["doc_a", "doc_b"],
+            ).collect()
+        }
+        rec = len(hits) / len(planted)
+        print(f"n={n} minhash_lsh {t_lsh:.1f}s candidates={n_cand} "
+              f"planted_recall={rec:.3f} "
+              f"cand_frac={n_cand / (n * (n - 1) / 2):.2e} {sh_lsh}",
+              flush=True)
+        cand.unpersist()
+
+    if "simhash" in ops:
+        t_sh, sh_sh = min_of(lambda: simhash(docs).count())
+        sh = simhash(docs).count()
+        print(f"n={n} simhash fingerprints {t_sh:.1f}s rows={sh} {sh_sh}",
+              flush=True)
+
+    if "embed" in ops:
+        _run_embed_probe(spark, n, min_of)
+
+    if "jaccard" not in ops:
+        spark.stop()
+        return
     # capped exact Jaccard — the corpus-scale variant of the
     # verification oracle (stop-shingle cut bounds the self-join)
     t_j, sh_j = min_of(
