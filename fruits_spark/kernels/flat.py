@@ -113,6 +113,9 @@ class Seg:
 
     def shift1(self, x: np.ndarray) -> np.ndarray:
         out = np.empty_like(x)
+        if out.size == 0:
+            # every segment empty (a sub-batch of zero-token docs)
+            return out
         out[1:] = x[:-1]
         out[0] = 0.0
         out[self.offsets[:-1][self.nonempty]] = 0.0

@@ -292,3 +292,50 @@ def test_embedding_near_dups_gram_matches_expr(spark):
     }
     assert len(a) > 40  # planted pairs actually found
     assert a == b
+
+
+def test_all_empty_batch_through_flat_paths(spark, monkeypatch):
+    """A token-budget split can leave a sub-batch holding ONLY
+    zero-token docs; Seg.shift1 used to IndexError on the empty batch.
+    Both univariate and multivariate flat extraction must return zero
+    features for such rows."""
+    import numpy as np
+
+    from fruits_spark.engine.executor import (
+        compute_features_flat, extract_features, feature_columns,
+    )
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+
+    # kernel level: an entirely-empty batch
+    fplan_uv = FruitPlan(
+        (Slice(iss=ISSSpec((W("[1][1]"),)), sieves=(Sieve("end"),)),)
+    )
+    offsets = np.zeros(4, dtype=np.int64)
+    out = compute_features_flat(np.array([]), offsets, fplan_uv)
+    assert out.shape == (3, 1) and not out.any()
+
+    # Spark level: huge doc + trailing empty docs + tiny budget forces
+    # an all-empty trailing sub-batch (mv route)
+    monkeypatch.setenv("SPARK_GRAFT_TOKEN_BUDGET", "10")
+    fplan = FruitPlan(
+        (Slice(iss=ISSSpec((W("[1][2]"),)), sieves=(Sieve("end"),)),)
+    )
+    rows = [
+        (0, [[1.0] * 30, [2.0] * 30], "s", 30),
+        (1, [[], []], "s", 0),
+        (2, [[], []], "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, dims array<array<double>>, source string, n_tok int",
+    )
+    fc = feature_columns(fplan)
+    out = (
+        extract_features(df.coalesce(1), fplan, tokens_col="dims",
+                         multivariate=True)
+        .toPandas().sort_values("doc_id")
+    )
+    assert len(out) == 3
+    assert out[fc[0]].iloc[0] != 0.0
+    assert (out[fc[0]].iloc[1:] == 0.0).all()

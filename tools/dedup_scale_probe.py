@@ -60,11 +60,15 @@ def _run_embed_probe(spark, n, min_of):
     rng_h = np.random.default_rng(42)
     planes = rng_h.choice(np.array([-1.0, 1.0]), size=(bits, 64))
     n_clusters = max(50, n // 50)
+    # cluster centers use HASH-derived phases so distinct clusters are
+    # decorrelated (a multiplicative sin(1.7*c*j) formula makes many
+    # center pairs cosine-similar — measured 30.5M "true" pairs at 1M
+    # docs, a superlinear corpus artifact, not an algorithm property)
     emb = spark.range(n).select(
         F.col("id").alias("vec_id"),
         F.expr(
             "transform(sequence(1, 64), j -> "
-            f"sin(1.7d * cast(id % {n_clusters} + 1 as double) * j) + "
+            f"sin(pmod(xxhash64(id % {n_clusters}, j), 6283) / 1000.0d) + "
             "0.35d * sin(0.37d * cast(id + 1 as double) * j))"
         ).alias("embedding"),
     ).cache()
