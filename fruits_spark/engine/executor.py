@@ -495,30 +495,10 @@ def _emit_level_flat(seg, xp, spec, x_orig):
         yield from _emit_level_flat_cse(seg, xp, spec)
         return
     lookup = _lookup_flat(spec, seg, xp, x_orig)
-    if not spec.total:
-        # weighted non-total: prefix CSE (bit-identical to per-word)
-        yield from _emit_level_flat_cse_weighted(seg, xp, spec, lookup)
-        return
-    pplan = spec.plan()
-    i = 0
-    for wi, w in enumerate(spec.words):
-        depth = pplan.depth(wi) if pplan is not None else 1
-        if depth == 0:
-            continue
-        alpha = np.array(w.alpha, dtype=np.float32)
-        if mv:
-            streams = KF.iss_flat_mv(
-                seg, xp, w.matrix, extended=depth, semiring=spec.semiring,
-                alpha=alpha, lookup=lookup, total=spec.total,
-            )
-        else:
-            streams = KF.iss_flat(
-                seg, xp, w.matrix, extended=depth, semiring=spec.semiring,
-                alpha=alpha, lookup=lookup, total=spec.total,
-            )
-        for stream in streams:
-            yield i, stream
-            i += 1
+    # weighted (total or not): prefix CSE, bit-identical to the
+    # per-word kernels (iss_flat / iss_flat_mv stay as the oracle the
+    # CSE is pinned against — see test_round5)
+    yield from _emit_level_flat_cse_weighted(seg, xp, spec, lookup)
 
 
 def _emit_level_flat_cse(seg, xp, spec):
@@ -604,7 +584,7 @@ def _emit_level_flat_cse(seg, xp, spec):
 
 
 def _emit_level_flat_cse_weighted(seg, xp, spec, lookup):
-    """Weighted (non-total) ISS with scan-level prefix CSE — the
+    """Weighted ISS (total or not) with scan-level prefix CSE — the
     weighted twin of :func:`_emit_level_flat_cse`.  Trie nodes key on
     (letter, alpha) PAIRS: two words share a prefix scan only when
     letters and per-letter weighting exponents both agree (the forward
@@ -708,6 +688,62 @@ def _emit_level_flat_cse_weighted(seg, xp, spec, lookup):
         if semiring == "arctic":
             return seg.runmax(raw + _fac("l", a_cur))
         return seg.runmax(raw * _fac("p", a_cur))
+
+    if spec.total:
+        # TOTAL weighting: the forward state is the post-scan C_k; the
+        # per-node derived state D = unweight(shift/carry of C) is
+        # shared across ALL children (per-word recomputes it per word).
+        # Recurrences mirror the per-word kernels' *_total branches.
+        def letter_op(D, letter):
+            if semiring == "reals":
+                if cols is not None:
+                    return KF._mul_letter_nd(D, cols, letter)
+                e = letter[0] if letter else 0
+                return KF._mul_letter(D, xp, e)
+            if semiring == "arctic":
+                combo = (
+                    KF._lin_combo_nd(cols, letter) if cols is not None
+                    else float(letter[0] if letter else 0) * xp
+                )
+                return combo if D is None else D + combo
+            if cols is not None:
+                base = np.ones_like(cols[0]) if D is None else D
+                return KF._mul_letter_nd(base, cols, letter)
+            e = letter[0] if letter else 0
+            base = np.ones_like(xp) if D is None else D
+            return base * KF._pow1(xp, e)
+
+        def derive(C, a_prev):
+            if semiring == "reals":
+                return seg.shift1(C) * _fac("n", a_prev)
+            if semiring == "arctic":
+                return C - _fac("l", a_prev)
+            return C * _fac("n", a_prev)
+
+        def unweight(C, a_cur):
+            if semiring == "arctic":
+                return C - _fac("l", a_cur)
+            return C * _fac("n", a_cur)
+
+        def dfs_total(node, state):
+            a_prev = node[-1][1] if node else None
+            D = None
+            for child in children[node]:
+                letter, a_cur = child[-1]
+                if node and D is None:
+                    D = derive(state, a_prev)
+                raw = letter_op(D, letter)
+                C = forward(raw, a_cur)
+                eis = emit_at.get(child)
+                if eis:
+                    st = unweight(C, a_cur)
+                    for ei in eis:
+                        yield ei, st
+                if children[child]:
+                    yield from dfs_total(child, C)
+
+        yield from dfs_total((), None)
+        return
 
     def dfs(node, state):
         a_prev = node[-1][1] if node else None

@@ -167,33 +167,35 @@ def test_weighted_cse_bit_identical_to_per_word():
     ]
     for words, semiring, d in cases:
         for mode in ("single", "extended"):
-            spec = ISSSpec(words, mode=mode, semiring=semiring,
-                           weighting="indices")
-            xp = cols[:d] if d > 1 else x
-            inp = xp if d > 1 else x
-            lookup = _lookup_flat(spec, seg, inp, cols[:d])
-            got = dict(_emit_level_flat(seg, inp, spec, cols[:d]))
-            # per-word oracle (the pre-CSE path)
-            pplan = spec.plan()
-            want = {}
-            i = 0
-            for wi, w in enumerate(spec.words):
-                depth = pplan.depth(wi) if pplan is not None else 1
-                if depth == 0:
-                    continue
-                alpha = np.array(w.alpha, dtype=np.float32)
-                fn = KF.iss_flat_mv if d > 1 else KF.iss_flat
-                for stream in fn(seg, xp, w.matrix, extended=depth,
-                                 semiring=semiring, alpha=alpha,
-                                 lookup=lookup):
-                    want[i] = stream
-                    i += 1
-            assert set(got) == set(want), (semiring, mode, d)
-            for k in want:
-                np.testing.assert_array_equal(
-                    got[k], want[k],
-                    err_msg=f"{semiring}/{mode}/d={d}/stream {k}",
-                )
+            for total in (False, True):
+                spec = ISSSpec(words, mode=mode, semiring=semiring,
+                               weighting="indices", total=total)
+                xp = cols[:d] if d > 1 else x
+                inp = xp if d > 1 else x
+                lookup = _lookup_flat(spec, seg, inp, cols[:d])
+                got = dict(_emit_level_flat(seg, inp, spec, cols[:d]))
+                # per-word oracle (the pre-CSE path)
+                pplan = spec.plan()
+                want = {}
+                i = 0
+                for wi, w in enumerate(spec.words):
+                    depth = pplan.depth(wi) if pplan is not None else 1
+                    if depth == 0:
+                        continue
+                    alpha = np.array(w.alpha, dtype=np.float32)
+                    fn = KF.iss_flat_mv if d > 1 else KF.iss_flat
+                    for stream in fn(seg, xp, w.matrix, extended=depth,
+                                     semiring=semiring, alpha=alpha,
+                                     lookup=lookup, total=total):
+                        want[i] = stream
+                        i += 1
+                assert set(got) == set(want), (semiring, mode, d, total)
+                for k in want:
+                    np.testing.assert_array_equal(
+                        got[k], want[k],
+                        err_msg=f"{semiring}/{mode}/d={d}/total={total}"
+                                f"/stream {k}",
+                    )
 
 
 def test_unweighted_cse_duplicate_words_single_mode():
