@@ -3049,6 +3049,77 @@ GROUP BY doc_id
 """
 
 
+def q_iss_mv_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted MULTIVARIATE ISS through the flat mv prefix-CSE trie
+    (round 5): 2-channel input (x, y = (7x+3) mod 101, both scaled
+    0.01), indices weighting (relative, scale 1), EXTENDED [1][2] plus
+    the product letter [12]; END sieve.  Streams: the [1] prefix
+    (weight-free at level 1 -> plain sum), the cross-channel weighted
+    [1][2], and [12] (single letter -> weighting cancels)."""
+    from fruits_spark.plan import ISSSpec, Sieve, Slice, FruitPlan
+    from fruits_spark.words import W
+    from fruits_spark.engine.executor import extract_features, feature_columns
+
+    fplan = FruitPlan(
+        (
+            Slice(
+                iss=ISSSpec(
+                    (W("[1][2]"), W("[12]")),
+                    mode="extended",
+                    weighting="indices",
+                    weighting_params={"relative": True, "scale": 1.0},
+                ),
+                sieves=(Sieve("end"),),
+            ),
+        )
+    )
+    fc = feature_columns(fplan)
+    toks = token_table(spark, sf_dir).withColumn(
+        "mv",
+        F.array(
+            F.expr("transform(tokens, t -> cast(t as double))"),
+            F.expr(
+                "transform(tokens, t -> cast((t * 7 + 3) % 101 as double))"
+            ),
+        ),
+    )
+    out = extract_features(
+        toks, fplan, tokens_col="mv", keep=("doc_id", "source", "n_tok"),
+        multivariate=True, cast_scale=0.01,
+    )
+    return out.select(
+        "doc_id",
+        F.round(F.col(fc[0]), 6).alias("mvw_end_1_r6"),
+        F.round(F.col(fc[1]), 6).alias("mvw_end_1_2_r6"),
+        F.round(F.col(fc[2]), 6).alias("mvw_end_12_r6"),
+    )
+
+
+SQL_ISS_MV_WEIGHTED = f"""
+WITH {SQL_TOKS},
+g AS (
+    SELECT doc_id, pos, x * 0.01 AS xb, ((x * 7) + 3) % 101 * 0.01 AS yb,
+           ((CAST(pos + 1 AS DOUBLE) / n_tok) - (CAST(1 AS DOUBLE) / n_tok))
+               / (1.0 - (CAST(1 AS DOUBLE) / n_tok)) AS gi
+    FROM toks
+),
+lvl1 AS (
+    SELECT doc_id, pos, xb, yb, gi,
+           SUM(xb * EXP(gi * 1.0)) OVER w AS runw
+    FROM g
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id,
+       ROUND(SUM(xb), 6) AS mvw_end_1_r6,
+       ROUND(SUM(((runw - xb * EXP(gi * 1.0)) * yb) * EXP(-gi * 1.0)), 6)
+           AS mvw_end_1_2_r6,
+       ROUND(SUM(xb * yb), 6) AS mvw_end_12_r6
+FROM lvl1
+GROUP BY doc_id
+"""
+
+
 def q_iss_negative_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Negative exponents + the generic-word slow path, joined per doc:
       * Reals division (semiring.py:104-106) on z = x+1 (FUN prep keeps
@@ -3637,6 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_std": q_prep_std,
         "events_iss": q_events_iss,
         "iss_multivariate": q_iss_multivariate,
+        "iss_mv_weighted": q_iss_mv_weighted,
         "iss_negative_exp": q_iss_negative_exp,
         "multimodal_frames": q_multimodal_frames,
         "codec_tier_roundtrip": q_codec_tier_roundtrip,
@@ -3692,6 +3764,7 @@ def oracle_sql() -> dict[str, str]:
         "prep_std": SQL_PREP_STD,
         "events_iss": SQL_EVENTS_ISS,
         "iss_multivariate": SQL_ISS_MULTIVARIATE,
+        "iss_mv_weighted": SQL_ISS_MV_WEIGHTED,
         "iss_negative_exp": SQL_ISS_NEGATIVE_EXP,
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "codec_tier_roundtrip": SQL_CODEC_TIER_ROUNDTRIP,
