@@ -269,41 +269,24 @@ def _prep_flat_ok(p: Pl.Prep) -> bool:
     return p.kind in _FLAT_PREPS
 
 
-def _prep_out_dims(p: Pl.Prep, d: int) -> int:
-    """Output dim count of a flat-capable prep (inc/std/nrm preserve,
-    NEW appends its inner's output, DIM reorders)."""
-    if p.kind == "new":
-        inner = p.params.get("prep")
-        return d + (_prep_out_dims(inner, d) if inner is not None else d)
-    if p.kind == "dim":
-        k = len(np.atleast_1d(np.asarray(p.params["dims"])))
-        return (d - k) + _prep_out_dims(p.params["prep"], k)
-    return d
-
-
 def plan_is_flat(fplan: Pl.FruitPlan, n_dims: int = 1) -> bool:
     """True if every op has a flat segmented implementation for an
     ``n_dims``-dimensional input.  Round 5: multivariate words, NEW/DIM
-    prep wrappers, and Custom weightings all run flat now — only
-    arctic-argmax streams on a multi-dim stage remain bucketed-only."""
+    prep wrappers, Custom weightings, and mv arctic-argmax all run flat
+    — the bucketed layout remains only as the parity oracle."""
+    del n_dims  # every op is now dim-agnostic; kept for call stability
     for sl in fplan.slices:
         if any(not _prep_flat_ok(p) for p in sl.preps):
             return False
         if any(sv.kind not in _FLAT_SIEVES for sv in sl.sieves):
             return False
-        d = n_dims
-        for p in sl.preps:
-            d = _prep_out_dims(p, d)
-        for level, spec in enumerate(sl.iss_chain()):
-            dims_here = d if level == 0 else 1  # chained streams are 1-D
+        for spec in sl.iss_chain():
             if isinstance(spec, Pl.CosWISSSpec):
                 continue
             if spec.semiring not in ("reals", "arctic", "bayesian"):
                 return False
             if spec.weighting not in _FLAT_WEIGHTINGS:
                 return False
-            if getattr(spec, "argmax", False) and dims_here > 1:
-                return False  # mv argmax freeze logic: bucketed-only
     return True
 
 
@@ -476,8 +459,6 @@ def _emit_level_flat(seg, xp, spec, x_orig):
                 yield wi * n_freqs + fi, stream
         return
     if getattr(spec, "argmax", False):
-        if mv:  # plan_is_flat gates this off; belt-and-braces
-            raise ValueError("multivariate argmax streams are bucketed-only")
         lookup = _lookup_flat(spec, seg, xp, x_orig)
         i = 0
         for w in spec.words:

@@ -706,18 +706,22 @@ def runmax_argmax_flat(seg: Seg, x: np.ndarray):
 
 def iss_arctic_argmax_flat(
     seg: Seg,
-    x: np.ndarray,
+    x,
     word: np.ndarray,
     alpha: np.ndarray | None = None,
     lookup: np.ndarray | None = None,
 ) -> list[np.ndarray]:
-    """Univariate arctic ISS with argmax tracking on the flat layout:
-    same stream layout and values as :func:`..iss.iss_arctic_argmax`
-    (p value streams interleaved with p(p+1)/2 maximizing-index
-    streams, later letters freezing earlier letters' argmax streams at
-    the position their final argmax points to)."""
-    exps = np.asarray(word)[:, 0]
-    p = len(exps)
+    """Arctic ISS with argmax tracking on the flat layout: same stream
+    layout and values as :func:`..iss.iss_arctic_argmax` (p value
+    streams interleaved with p(p+1)/2 maximizing-index streams, later
+    letters freezing earlier letters' argmax streams at the position
+    their final argmax points to).  ``x`` is one flat array
+    (univariate) or a per-dimension column list (multivariate, round 5
+    — the linear combo is the only dimension-aware op, matching the
+    bucketed kernel's ``_linear_combo``)."""
+    cols = x if isinstance(x, list) else None
+    word = np.asarray(word)
+    p = len(word)
     if lookup is None:
         lookup = np.zeros(seg.total)
         alpha = np.zeros(p, dtype=np.float32)
@@ -725,11 +729,14 @@ def iss_arctic_argmax_flat(
     zeros = np.zeros(seg.total)
     vals: list = [zeros] * p
     idxs: list = [zeros] * p
-    tmp = np.zeros_like(x)
+    tmp = np.zeros_like(cols[0] if cols is not None else x)
     for k in range(p):
-        if not exps[k]:
+        if not np.any(word[k]):
             continue  # bucketed parity: zero letters leave zero streams
-        tmp = tmp + float(exps[k]) * x
+        if cols is not None:
+            tmp = tmp + _lin_combo_nd(cols, word[k])
+        else:
+            tmp = tmp + float(word[k][0]) * x
         if k > 0:
             tmp = tmp - lookup * a[k - 1]
         vals[k], idxs[k] = runmax_argmax_flat(seg, tmp)

@@ -212,20 +212,27 @@ def test_three_dims():
     _check(fplan, d=3)
 
 
-def test_mv_argmax_stays_bucketed():
+def test_mv_argmax_flat_matches_bucketed():
+    """Round 5 (late): mv arctic-argmax runs flat too — the linear
+    combo is the kernel's only dimension-aware op.  Freeze-at-argmax
+    index streams must match the bucketed kernel exactly (indices are
+    integers; values to carry rounding)."""
     fplan = FruitPlan((
-        Slice(iss=ISSSpec((W("[1][2]"),), semiring="arctic", argmax=True),
-              sieves=(Sieve("end"),)),
+        Slice(iss=ISSSpec((W("[1][2]"), W("[12][1]")), semiring="arctic",
+                          argmax=True),
+              sieves=(Sieve("end"), Sieve("max"))),
     ))
-    assert not plan_is_flat(fplan, n_dims=2)
-    assert plan_is_flat(fplan, n_dims=1)
-    # NEW doubles dims before the ISS -> bucketed as well
+    assert plan_is_flat(fplan, n_dims=2)
+    _check(fplan)
+    # NEW doubles dims before the ISS — flat now as well
     fplan2 = FruitPlan((
         Slice(preps=(Prep("new", {}),),
-              iss=ISSSpec((W("[1]"),), semiring="arctic", argmax=True),
+              iss=ISSSpec((W("[1][2]"),), semiring="arctic", argmax=True,
+                          weighting="indices"),
               sieves=(Sieve("end"),)),
     ))
-    assert not plan_is_flat(fplan2, n_dims=1)
+    assert plan_is_flat(fplan2, n_dims=2)
+    _check(fplan2)
 
 
 def test_mv_flat_chunking_matches_unchunked(spark, monkeypatch):

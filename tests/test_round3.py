@@ -65,10 +65,11 @@ def test_multivariate_block_chunking_matches_unchunked(spark, monkeypatch):
     per-length block (bounding CosWISS stream buffering for foreign
     sessions with big Arrow batches); features must be identical.
 
-    argmax=True keeps this plan on the BUCKETED mv path (the round-5
-    flat mv path would otherwise claim it; its float carry rounding is
-    chunk-boundary-dependent and covered by its own integer-domain
-    chunking test in test_flat_multivariate)."""
+    The MAV prep keeps this plan on the BUCKETED mv path (the round-5
+    flat mv path — which by now covers argmax too — would otherwise
+    claim it; its float carry rounding is chunk-boundary-dependent and
+    covered by its own integer-domain chunking test in
+    test_flat_multivariate)."""
     rng = np.random.default_rng(7)
     rows = [
         (i, rng.normal(size=(2, 13)).tolist(), "s", 13) for i in range(9)
@@ -77,11 +78,13 @@ def test_multivariate_block_chunking_matches_unchunked(spark, monkeypatch):
         rows,
         "doc_id long, dims array<array<double>>, source string, n_tok int",
     )
+    from fruits_spark.plan import Prep
+
     fplan = FruitPlan(
         (
             Slice(
-                iss=ISSSpec((W("[1]"), W("[12]"), W("[1][2]")),
-                            semiring="arctic", argmax=True),
+                preps=(Prep("mav", {"width": 3}),),
+                iss=ISSSpec((W("[1]"), W("[12]"), W("[1][2]"))),
                 sieves=(Sieve("end"), Sieve("max")),
             ),
         )
