@@ -200,3 +200,34 @@ def test_flat_matches_bucketed_all_spec_combos(rows, wi, sr, weighting,
     ff = compute_features_flat(flat_in, offsets, fplan)
     fb = np.vstack([compute_features_block(b, fplan) for b in blocks])
     np.testing.assert_allclose(ff, fb, rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=series_strategy,
+    wi=st.integers(0, len(MV_WORDS) - 1),
+    weighting=st.sampled_from([None, "indices"]),
+    d=st.integers(1, 2),
+)
+def test_flat_argmax_matches_bucketed(rows, wi, weighting, d):
+    """Arctic argmax (value + maximizing-index + freeze streams) on the
+    flat layout vs the bucketed kernel — mv argmax went flat late in
+    round 5; indices are integers so everything must agree exactly up
+    to carry-free arctic arithmetic."""
+    word = MV_WORDS[wi] if d == 2 else WORDS[wi]
+    spec = ISSSpec((W(word),), semiring="arctic", argmax=True,
+                   weighting=weighting)
+    fplan = FruitPlan((Slice(iss=spec, sieves=(Sieve("end"), Sieve("max"))),))
+    xs = [np.asarray(r, dtype=np.float64) for r in rows]
+    lengths = np.array([len(x) for x in xs], dtype=np.int64)
+    offsets = np.zeros(len(xs) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    if d == 1:
+        flat_in = np.concatenate(xs) if xs else np.array([])
+        blocks = [x.reshape(1, 1, -1) for x in xs]
+    else:
+        flat_in = [np.concatenate(xs), np.concatenate([x * 0.5 - 1 for x in xs])]
+        blocks = [np.stack([x, x * 0.5 - 1])[np.newaxis] for x in xs]
+    ff = compute_features_flat(flat_in, offsets, fplan)
+    fb = np.vstack([compute_features_block(b, fplan) for b in blocks])
+    np.testing.assert_allclose(ff, fb, rtol=1e-9, atol=1e-9)
